@@ -1,0 +1,277 @@
+"""Database build: makedb + indexdb fused into a sort-based pipeline.
+
+The reference builds its database by streaming (kmer -> protein_id) inserts
+into a multi-version LSM tree (makedb/inputFASTA.go:245-248) and then runs a
+second "index" pass that replays every k-mer's versions to build deduplicated
+protein-set records (indexdb.go:68-150, kcomb_store.go:42-85).
+
+Here the same result is produced as one vectorized pipeline over flat arrays:
+
+  1. parse proteins, encode each sequence's sliding-window 7-mers
+     (codec.encode_kmers) and collect (kmer<<32 | protein_row) uint64 pairs;
+  2. radix-sort the pairs (np.sort) and drop duplicates -- duplicates arise
+     when a k-mer occurs twice in one protein, exactly the case the
+     reference's RemoveDuplicatesFromSlice handles (kv_store.go:284-305);
+  3. group by k-mer; deduplicate identical protein sets (the KComb concept)
+     by double-64-bit segment hashing;
+  4. build the open-addressing kmer -> set_id table (hashtable.build_table).
+
+An unindexed build (-noindex) stops after step 2 and persists the sorted
+pairs, which keeps split builds mergeable (mergedb semantics).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Iterable, List, Optional, Tuple
+
+import json
+import numpy as np
+
+from .. import codec
+from ..io_formats import PARSERS
+from ..records import KSettings, KStats, Protein
+from . import artifact
+from .hashtable import build_table
+
+KMER_SIZE = 7
+
+
+def _collect_proteins(
+    entries: Iterable[Tuple[int, Protein]],
+    progress: bool = False,
+):
+    """Materialize protein columns + kmer pairs from a parser stream."""
+    ids: List[int] = []
+    lengths: List[int] = []
+    entry_ids: List[bytes] = []
+    sequences: List[bytes] = []
+    features: List[bytes] = []
+    pair_chunks: List[np.ndarray] = []
+    pending: List[np.ndarray] = []
+    pending_n = 0
+
+    count_aa = 0
+    count_kmers = 0
+
+    for row, (pid, prot) in enumerate(entries):
+        ids.append(pid)
+        lengths.append(prot.Length)
+        entry_ids.append(prot.EntryId.encode("utf-8"))
+        sequences.append(prot.Sequence.encode("utf-8"))
+        features.append(
+            json.dumps(prot.Features, separators=(",", ":")).encode("utf-8")
+            if prot.Features else b""
+        )
+        count_aa += prot.Length
+        count_kmers += prot.Length - KMER_SIZE + 1
+
+        kmers = codec.encode_kmers(codec.seq_to_codes(prot.Sequence))
+        pairs = (kmers.astype(np.uint64) << np.uint64(32)) | np.uint64(row)
+        pending.append(pairs)
+        pending_n += pairs.size
+        if pending_n >= 8_000_000:
+            pair_chunks.append(np.concatenate(pending))
+            pending = []
+            pending_n = 0
+        if progress and (row + 1) % 10000 == 0:
+            print(f"Processed {row + 1} proteins")
+
+    if pending:
+        pair_chunks.append(np.concatenate(pending))
+
+    all_pairs = (
+        np.concatenate(pair_chunks) if pair_chunks else np.empty(0, dtype=np.uint64)
+    )
+    all_pairs.sort(kind="stable")
+
+    stats = KStats(
+        NumberOfProteins=len(ids),
+        NumberOfAA=count_aa,
+        NumberOfKmers=count_kmers,
+        NumberOfKCombSets=0,
+    )
+    return (
+        np.asarray(ids, dtype=np.uint32),
+        np.asarray(lengths, dtype=np.int32),
+        entry_ids,
+        sequences,
+        features,
+        all_pairs,
+        stats,
+    )
+
+
+def build_db(
+    db_path: str,
+    input_path: str,
+    input_fmt: str = "fasta",
+    offset: int = 0,
+    length: Optional[int] = None,
+    no_index: bool = False,
+    progress: bool = False,
+) -> None:
+    """makedb equivalent (reference makedb.go:33-82)."""
+    input_fmt = input_fmt.lower()
+    if input_fmt not in PARSERS:
+        raise ValueError(f"Input format unrecognized: {input_fmt}")
+    parser, default_features = PARSERS[input_fmt]
+
+    kwargs = {"offset": offset}
+    if length is not None:
+        kwargs["length"] = length
+
+    def stream():
+        for item in parser(input_path, **kwargs):
+            yield item
+
+    # TSV derives the feature list from its header row (inputTSV.go:98,185-190)
+    if input_fmt == "tsv":
+        from ..io_formats.readers import open_maybe_gzip
+
+        with open_maybe_gzip(input_path) as f:
+            header = f.readline().rstrip("\n").split("\t")
+        default_features = [h for h in header if h.lower() not in ("entryid", "sequence")]
+
+    (ids, lengths, entry_ids, sequences, features, pairs, stats) = _collect_proteins(
+        stream(), progress=progress
+    )
+    stats.Features = list(default_features or [])
+
+    db_name = os.path.basename(os.path.normpath(db_path))
+    settings = KSettings(
+        Name=db_name,
+        Port=8321,
+        CreationDate=datetime.date.today().isoformat(),
+        OriginalFile=os.path.basename(input_path),
+        DatabaseIndexed=False,
+    )
+
+    artifact.save_db(
+        db_path,
+        stats=stats,
+        settings=settings,
+        protein_ids=ids,
+        protein_lengths=lengths,
+        entry_ids=entry_ids,
+        sequences=sequences,
+        features=features,
+        pairs=pairs,
+    )
+
+    if not no_index:
+        index_db(db_path, progress=progress)
+
+
+def dedup_sets(pairs: np.ndarray):
+    """Group sorted (kmer<<32|row) pairs by k-mer and deduplicate identical
+    protein sets (the KComb construction, kcomb_store.go:42-63, done here as
+    vectorized segment hashing instead of per-key xxhash + collision probing).
+
+    Returns (unique_kmers u32[U], set_id_per_kmer u32[U],
+             set_offsets u64[S+1], postings u32[P]).
+    """
+    if pairs.size == 0:
+        return (
+            np.empty(0, np.uint32),
+            np.empty(0, np.uint32),
+            np.zeros(1, np.uint64),
+            np.empty(0, np.uint32),
+        )
+
+    # Drop duplicate (kmer,row) pairs -- same k-mer repeated within a protein.
+    pairs = pairs[np.concatenate(([True], pairs[1:] != pairs[:-1]))]
+
+    kmers = (pairs >> np.uint64(32)).astype(np.uint32)
+    rows = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    new_group = np.concatenate(([True], kmers[1:] != kmers[:-1]))
+    group_starts = np.flatnonzero(new_group)
+    unique_kmers = kmers[group_starts]
+    group_lens = np.diff(np.append(group_starts, kmers.size))
+
+    # Position of each element within its group.
+    idx = np.arange(kmers.size, dtype=np.uint64)
+    pos_in_group = idx - np.repeat(group_starts.astype(np.uint64), group_lens)
+
+    # Two independent 64-bit positional segment hashes.  With <=2^32 sets the
+    # probability of any 128-bit collision is negligible (<2^-60).
+    def mix(x: np.ndarray, c1: int, c2: int) -> np.ndarray:
+        x = x.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(c1)
+        x = (x ^ (x >> np.uint64(29))) * np.uint64(c2)
+        return x ^ (x >> np.uint64(32))
+
+    e1 = mix(rows.astype(np.uint64) + (pos_in_group << np.uint64(32)),
+             0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53)
+    e2 = mix(rows.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + pos_in_group,
+             0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+    h1 = np.add.reduceat(e1, group_starts)
+    h2 = np.add.reduceat(e2, group_starts)
+    h1 += group_lens.astype(np.uint64)  # include set length
+
+    sig = np.empty((unique_kmers.size, 2), dtype=np.uint64)
+    sig[:, 0] = h1
+    sig[:, 1] = h2
+    sig_view = np.ascontiguousarray(sig).view([("a", np.uint64), ("b", np.uint64)]).ravel()
+
+    uniq_sig, rep_idx, inverse = np.unique(
+        sig_view, return_index=True, return_inverse=True
+    )
+    n_sets = uniq_sig.size
+    set_id_per_kmer = inverse.astype(np.uint32)
+
+    # CSR for the unique sets, taking each set's representative group.
+    rep_starts = group_starts[rep_idx]
+    rep_lens = group_lens[rep_idx]
+    set_offsets = np.zeros(n_sets + 1, dtype=np.uint64)
+    np.cumsum(rep_lens.astype(np.uint64), out=set_offsets[1:])
+    total = int(set_offsets[-1])
+    postings = np.empty(total, dtype=np.uint32)
+    # Vectorized segment copy.
+    src = (
+        np.repeat(rep_starts.astype(np.int64), rep_lens)
+        + (np.arange(total, dtype=np.int64)
+           - np.repeat(set_offsets[:-1].astype(np.int64), rep_lens))
+    )
+    postings[:] = rows[src]
+
+    return unique_kmers, set_id_per_kmer, set_offsets, postings
+
+
+def index_db(db_path: str, progress: bool = False) -> None:
+    """indexdb equivalent (reference indexdb.go:34-66): turn the sorted pair
+    representation into the servable hash-table + CSR postings artifact."""
+    db = artifact.load_db(db_path, mmap=False)
+    if db.indexed:
+        raise ValueError(f"{db_path} is already indexed")
+    if progress:
+        print("# Creating key combination store")
+
+    unique_kmers, set_ids, set_offsets, postings = dedup_sets(np.asarray(db.pairs))
+    ht = build_table(unique_kmers, set_ids)
+
+    db.stats.NumberOfKCombSets = int(set_offsets.size - 1)
+    db.settings.DatabaseIndexed = True
+
+    entry_ids = [db._entry_ids.get(i) for i in range(db.num_proteins)]
+    sequences = [db._sequences.get(i) for i in range(db.num_proteins)]
+    features = [db._features.get(i) for i in range(db.num_proteins)]
+
+    artifact.save_db(
+        db_path,
+        stats=db.stats,
+        settings=db.settings,
+        protein_ids=np.asarray(db.protein_ids),
+        protein_lengths=np.asarray(db.protein_lengths),
+        entry_ids=entry_ids,
+        sequences=sequences,
+        features=features,
+        hash_table=ht.table,
+        hash_log2_size=ht.log2_size,
+        hash_max_probe=ht.max_probe,
+        set_offsets=set_offsets,
+        postings=postings,
+    )

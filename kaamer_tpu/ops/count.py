@@ -1,0 +1,113 @@
+"""Hit counting as sort + run-length-encoding (no scatter).
+
+The reference tallies hits by incrementing a sharded concurrent counter per
+posting (search.go:431-433) and then sorts the counter map (search.go:132-152).
+A scatter-add is the literal translation but scatters serialize badly on TPU.
+Instead we materialize, per query, the concatenated multiset of protein rows
+from all matched postings lists (one big CSR gather), sort it, and run-length
+-encode: the count of each protein is the length of its run.  Sort, cumsum,
+gather and top_k all map onto the VPU / XLA primitives directly.
+
+Ranking: count descending; ties broken by LOWER protein row.  (The reference's
+tie order is Go map iteration order, i.e. nondeterministic -- search.go:136-150
+-- so any fixed tie-break is compatible with its accepted outputs; ours is
+deterministic.)  lax.top_k prefers lower indices on equal values and the runs
+are laid out in ascending protein order, which yields exactly that tie-break.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROW_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def gather_postings(postings, offs, cum, total, cap: int):
+    """Expand per-k-mer postings slices into a dense [B, cap] row multiset.
+
+    postings: uint32[P]      global postings array
+    offs:     int32[B, L]    start offset of each k-mer's postings slice
+    cum:      int32[B, L]    inclusive cumsum of slice lengths per query
+    total:    int32[B]       total postings per query (== cum[:, -1])
+    Entries beyond `total` are ROW_SENTINEL.  Also returns seg, the k-mer
+    position index each entry came from (for position bitmaps).
+    """
+    B = offs.shape[0]
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]  # [1, cap]
+
+    # Which k-mer segment does flat position j belong to?
+    seg = jax.vmap(lambda c: jnp.searchsorted(c, jnp.arange(cap, dtype=jnp.int32), side="right"))(cum)
+    seg = jnp.minimum(seg, offs.shape[1] - 1).astype(jnp.int32)
+
+    prev = jnp.where(
+        seg > 0,
+        jnp.take_along_axis(cum, jnp.maximum(seg - 1, 0), axis=1),
+        0,
+    )
+    src = jnp.take_along_axis(offs, seg, axis=1) + (j - prev)
+    valid = j < total[:, None]
+    src = jnp.where(valid, src, 0)
+    rows = jnp.where(valid, jnp.take(postings, src.reshape(-1)).reshape(B, cap), ROW_SENTINEL)
+    return rows, seg, valid
+
+
+def count_topk(rows, k: int):
+    """Sort each query's row multiset, RLE it, and return the top-k
+    (count, row) pairs.  Padding sentinels sort to the end and are excluded.
+
+    rows: uint32[B, cap]
+    returns (counts int32[B, k], hit_rows uint32[B, k]); absent entries have
+    count 0.
+    """
+    cap = rows.shape[1]
+    s = jnp.sort(rows, axis=1)
+
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones_like(s[:, :1], dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
+    ) & (s != ROW_SENTINEL)
+
+    # Run end position: smallest j >= i where the value changes (or cap-1).
+    change_next = jnp.concatenate(
+        [s[:, 1:] != s[:, :-1], jnp.ones_like(s[:, :1], dtype=bool)], axis=1
+    )
+    ends = jnp.where(change_next, idx, cap)
+    run_end = jax.lax.cummin(ends, axis=1, reverse=True)
+
+    counts = jnp.where(is_start, run_end - idx + 1, 0).astype(jnp.int32)
+    top_counts, top_pos = jax.lax.top_k(counts, k)
+    hit_rows = jnp.take_along_axis(s, top_pos, axis=1)
+    hit_rows = jnp.where(top_counts > 0, hit_rows, ROW_SENTINEL)
+    return top_counts, hit_rows
+
+
+def member_np(postings: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+              hits: np.ndarray) -> np.ndarray:
+    """Host-side position bitmaps: for one query, which k-mer positions'
+    postings sets contain each hit row.
+
+    postings: uint32[P]; offs/lens: int64[L] per-k-mer slices (sorted rows);
+    hits: uint32[K].  Returns bool[K, L] via vectorized binary search.
+    """
+    L = offs.shape[0]
+    K = hits.shape[0]
+    lo = np.broadcast_to(offs[None, :], (K, L)).astype(np.int64).copy()
+    hi = (offs + lens)[None, :].astype(np.int64)
+    hi = np.broadcast_to(hi, (K, L)).copy()
+    h = hits[:, None].astype(np.uint32)
+    maxlen = int(lens.max()) if L else 0
+    iters = max(1, int(np.ceil(np.log2(maxlen + 1))) + 1) if maxlen > 0 else 0
+    for _ in range(iters):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = postings[np.clip(mid, 0, max(len(postings) - 1, 0))]
+        go_right = active & (v < h)
+        lo = np.where(go_right, mid + 1, lo)
+        hi = np.where(active & ~go_right, mid, hi)
+    in_range = lo < (offs + lens)[None, :]
+    found = np.zeros((K, L), dtype=bool)
+    if len(postings):
+        found = in_range & (postings[np.clip(lo, 0, len(postings) - 1)] == h)
+    return found

@@ -1,0 +1,203 @@
+"""Smith-Waterman affine-gap local alignment with traceback.
+
+Capability match for reference pkg/align/align.go:46-161 (which delegates the
+DP to biogo SWAffine).  Output fields, identity/similarity/mismatch
+accounting (align.go:82-101), raw-score gap adjustment (116-132), bit score
+S' = (lambda*S - ln K)/ln 2 (136) and E-value m*n/2^S' with n = database AA
+count (141) are reproduced formula-for-formula.
+
+Gap model: a run of g gap columns costs gapOpen + (g-1)*gapExtend, matching
+the reference's raw-score reconstruction (align.go:127-131).
+
+Two deliberate deviations from reference quirks, both documented:
+- the reference hard-codes the DP matrix to BLOSUM62 with open -11 even when
+  the user selects another matrix (align.go:62-65) and then re-scores the
+  BLOSUM62-optimal alignment; we run the DP with the selected matrix/gaps;
+- traceback tie-breaking may differ from biogo's, which can produce a
+  different-but-equal-scoring alignment string in degenerate cases.
+
+Selenocysteine handling matches: 'U'/'u' is replaced by '*' before alignment
+(align.go:38, 53-55).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+from ..records import KStats
+from .matrices import LETTER_INDEX, MatrixScores, NoMatrixError, get_matrix_scores
+from ..search.results import AlignmentResult
+
+NEG_INF = np.int32(-(10**8))
+
+
+def _smith_waterman(
+    q: np.ndarray, r: np.ndarray, mat: np.ndarray, gap_open: int, gap_extend: int
+) -> Tuple[int, list, list]:
+    """Gotoh local alignment.  q, r: LETTER_INDEX arrays.  Returns
+    (best_score, q_aln_ops, r_aln_ops) where ops are index lists with -1 for
+    gap columns, covering the local alignment region only."""
+    m, n = len(q), len(r)
+    H = np.zeros((m + 1, n + 1), dtype=np.int32)
+    E = np.full((m + 1, n + 1), NEG_INF, dtype=np.int32)  # gap in query (left)
+    F = np.full((m + 1, n + 1), NEG_INF, dtype=np.int32)  # gap in ref (up)
+
+    sub = mat[q][:, r]  # [m, n] substitution scores
+
+    for i in range(1, m + 1):
+        E[i, 1:] = NEG_INF
+        # F depends only on the previous row: vectorized across j
+        F[i, 1:] = np.maximum(H[i - 1, 1:] - gap_open, F[i - 1, 1:] - gap_extend)
+        h_prev_diag = H[i - 1, :-1]
+        # E has a row-local dependency; resolve it with a scan.
+        e_run = NEG_INF
+        row_h = H[i]
+        srow = sub[i - 1]
+        frow = F[i]
+        for j in range(1, n + 1):
+            e_run = max(row_h[j - 1] - gap_open, e_run - gap_extend)
+            E[i, j] = e_run
+            h = max(0, h_prev_diag[j - 1] + srow[j - 1], e_run, frow[j])
+            row_h[j] = h
+
+    best = int(H.max())
+    if best <= 0:
+        return 0, [], []
+    i, j = np.unravel_index(int(H.argmax()), H.shape)
+    i, j = int(i), int(j)
+
+    q_ops: list = []
+    r_ops: list = []
+    state = "H"
+    while i > 0 and j > 0:
+        if state == "H":
+            h = H[i, j]
+            if h == 0:
+                break
+            if h == H[i - 1, j - 1] + sub[i - 1, j - 1]:
+                q_ops.append(i - 1)
+                r_ops.append(j - 1)
+                i -= 1
+                j -= 1
+            elif h == E[i, j]:
+                state = "E"
+            elif h == F[i, j]:
+                state = "F"
+            else:  # pragma: no cover - defensive
+                break
+        elif state == "E":
+            q_ops.append(-1)
+            r_ops.append(j - 1)
+            if E[i, j] == H[i, j - 1] - gap_open:
+                state = "H"
+            j -= 1
+        else:  # state == "F"
+            q_ops.append(i - 1)
+            r_ops.append(-1)
+            if F[i, j] == H[i - 1, j] - gap_open:
+                state = "H"
+            i -= 1
+    q_ops.reverse()
+    r_ops.reverse()
+    return best, q_ops, r_ops
+
+
+def align(
+    query_seq: str,
+    ref_seq: str,
+    db_stats: KStats,
+    sub_matrix: str = "blosum62",
+    gap_open: int = 11,
+    gap_extend: int = 1,
+) -> AlignmentResult:
+    scores: MatrixScores = get_matrix_scores(sub_matrix, gap_open, gap_extend)
+
+    query_seq = query_seq.replace("U", "*").replace("u", "*")
+    ref_seq = ref_seq.replace("U", "*").replace("u", "*")
+
+    q = LETTER_INDEX[np.frombuffer(query_seq.encode("latin-1"), dtype=np.uint8)]
+    r = LETTER_INDEX[np.frombuffer(ref_seq.encode("latin-1"), dtype=np.uint8)]
+
+    _, q_ops, r_ops = _smith_waterman(
+        q, r, scores.sub_matrix, scores.gap_open, scores.gap_extend
+    )
+    if not q_ops:
+        return AlignmentResult()
+
+    a_chars = []
+    b_chars = []
+    for qi, ri in zip(q_ops, r_ops):
+        a_chars.append(query_seq[qi] if qi >= 0 else "-")
+        b_chars.append(ref_seq[ri] if ri >= 0 else "-")
+    a_string = "".join(a_chars)
+    b_string = "".join(b_chars)
+
+    # identity / similarity / mismatches (align.go:82-101); float32 like Go
+    identity = np.float32(0)
+    similarity = np.float32(0)
+    mismatches = 0
+    match_chars = []
+    mat = scores.sub_matrix
+    for a, b in zip(a_string, b_string):
+        if a == b:
+            identity += np.float32(1)
+            similarity += np.float32(1)
+            match_chars.append(b)
+        else:
+            if a != "-" and b != "-":
+                mismatches += 1
+            if mat[LETTER_INDEX[ord(b)], LETTER_INDEX[ord(a)]] > 0:
+                similarity += np.float32(1)
+                match_chars.append("+")
+            else:
+                match_chars.append(" ")
+    nb_pos = np.float32(len(a_string))
+    identity = float(identity / nb_pos * np.float32(100))
+    similarity = float(similarity / nb_pos * np.float32(100))
+    aln_string = f"{a_string}\n{''.join(match_chars)}\n{b_string}"
+
+    # raw score + gap openings (align.go:105-132 semantics)
+    raw = 0
+    gap_openings = 0
+    in_gap = False
+    gap_len = 0
+    for qi, ri in zip(q_ops, r_ops):
+        if qi < 0 or ri < 0:
+            if not in_gap:
+                in_gap = True
+                gap_openings += 1
+                gap_len = 1
+            else:
+                gap_len += 1
+        else:
+            if in_gap:
+                raw -= scores.gap_open + (gap_len - 1) * scores.gap_extend
+                in_gap = False
+            raw += int(mat[q[qi], r[ri]])
+    if in_gap:
+        raw -= scores.gap_open + (gap_len - 1) * scores.gap_extend
+
+    bitscore = (scores.lam * raw - math.log(scores.K)) / math.log(2)
+    evalue = float(len(query_seq)) * float(db_stats.NumberOfAA) / math.pow(2, bitscore)
+
+    q_idx = [x for x in q_ops if x >= 0]
+    r_idx = [x for x in r_ops if x >= 0]
+
+    return AlignmentResult(
+        Identity=identity,
+        Similarity=similarity,
+        Length=len(a_string),
+        Mismatches=mismatches,
+        GapOpenings=gap_openings,
+        Raw=raw,
+        BitScore=bitscore,
+        EValue=evalue,
+        AlnString=aln_string,
+        QueryStart=q_idx[0] + 1 if q_idx else 0,
+        QueryEnd=q_idx[-1] + 1 if q_idx else 0,
+        SubjectStart=r_idx[0] + 1 if r_idx else 0,
+        SubjectEnd=r_idx[-1] + 1 if r_idx else 0,
+    )

@@ -1,0 +1,199 @@
+"""Six-frame ORF extraction and start-codon refinement.
+
+Coordinate and splitting semantics replicate the reference exactly
+(pkg/search/dna.go:65-272):
+
+- six frames (+1,+2,+3,-1,-2,-3); reverse strand = reverse complement;
+- an ORF begins at the frame start or at a start codon following a stop, and
+  ends at a stop codon (the '*' is included in the ORF sequence) or frame end;
+- minimum ORF length 21 amino acids (dna.go:26);
+- 1-based genomic coordinates: on the plus strand StartPosition is the first
+  base of the first codon and EndPosition the last base of the stop codon; on
+  the minus strand StartPosition > EndPosition (dna.go:110-133);
+- StartsAlternative records the amino-acid offset of every start codon seen
+  inside the ORF (the codon-counter quirk included: unknown codons translate
+  to nothing but still advance the counter, dna.go:104-152);
+- ORFs are ordered by EndPosition (plus) / StartPosition (minus) ascending
+  (dna.go:167-178).
+
+SetBestStartCodon (dna.go:198-272) trims a translated query to the latest
+alternative start preceding the first k-mer match of its best hits and shifts
+positions/bitmaps accordingly.
+
+Translation honors the requested genetic-code table; the reference always
+used the bacterial table (dna.go:106 quirk); defaults agree (table 11).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+from .gcode import codon_indices, translation_arrays
+
+KMER_SIZE = 7
+MIN_LEN_CDS = 21  # dna.go:26
+
+_COMPLEMENT = bytes.maketrans(b"atgc", b"tacg")
+
+
+def reverse_complement(dna: str) -> str:
+    """Lower-cased reverse complement (dna.go:55-63; non-acgt bases pass
+    through unchanged, as with Go's strings.Replacer)."""
+    return dna.lower().encode("latin-1")[::-1].translate(_COMPLEMENT).decode("latin-1")
+
+
+def get_frame(frame_number: int, dna: str) -> str:
+    """Frame sequence truncated to whole codons (dna.go:183-196)."""
+    if frame_number < 0:
+        dna = reverse_complement(dna)
+        frame_number = -frame_number
+    start = frame_number - 1
+    ln = len(dna) - start
+    return dna[start : len(dna) - (ln % 3)]
+
+
+@dataclass
+class Location:
+    StartPosition: int = 1
+    EndPosition: int = 0
+    PlusStrand: bool = True
+    StartsAlternative: List[int] = field(default_factory=list)
+
+
+@dataclass
+class ORF:
+    Sequence: str
+    Location: Location
+
+
+def get_orfs(dna: str, gcode_id: int = 11) -> List[ORF]:
+    """All >=21aa ORFs over six frames with reference coordinates."""
+    dna = dna.lower()
+    arrays = translation_arrays(gcode_id)
+    n = len(dna)
+    orfs: List[ORF] = []
+
+    frame_specs = [(0, 1), (1, 2), (2, 3), (3, -1), (4, -2), (5, -3)]
+    for frame_pos, frame_no in frame_specs:
+        frame_seq = get_frame(frame_no, dna)
+        start_off = frame_pos % 3
+        plus = frame_pos <= 2
+        abs_pos = frame_pos if plus else n - start_off - 1
+
+        codons = codon_indices(frame_seq)
+        aas = arrays.aa[codons]
+        starts = arrays.start[codons]
+        stops = arrays.stop[codons]
+
+        loc = Location(StartPosition=abs_pos + 1, EndPosition=0,
+                       PlusStrand=plus, StartsAlternative=[])
+        cds_parts: List[int] = []
+        inside = True
+        current_aa_pos = 0
+        current_i = 0
+
+        for ci in range(codons.shape[0]):
+            i = ci * 3
+            current_i = i
+            if starts[ci]:
+                if not inside:
+                    inside = True
+                    current_aa_pos = 0
+                    if plus:
+                        loc.StartPosition = frame_pos + i + 1
+                    else:
+                        loc.StartPosition = n - (frame_pos + i) + 3
+                    loc.StartsAlternative.append(current_aa_pos)
+                else:
+                    loc.StartsAlternative.append(current_aa_pos)
+
+            if inside and aas[ci]:
+                cds_parts.append(aas[ci])
+
+            if stops[ci]:
+                if inside and len(cds_parts) >= MIN_LEN_CDS:
+                    if plus:
+                        loc.EndPosition = i + 3 + frame_pos
+                    else:
+                        loc.EndPosition = loc.StartPosition - len(cds_parts) * 3 + 1
+                    orfs.append(ORF(Sequence=bytes(cds_parts).decode("latin-1"),
+                                    Location=loc))
+                loc = Location(StartPosition=0, EndPosition=0,
+                               PlusStrand=plus, StartsAlternative=[])
+                cds_parts = []
+                inside = False
+
+            current_aa_pos += 1
+
+        if inside and len(cds_parts) >= MIN_LEN_CDS:
+            if plus:
+                loc.EndPosition = current_i + 3 + frame_pos
+            else:
+                loc.EndPosition = loc.StartPosition - len(cds_parts) * 3 + 1
+            orfs.append(ORF(Sequence=bytes(cds_parts).decode("latin-1"), Location=loc))
+
+    orfs.sort(key=lambda o: o.Location.EndPosition if o.Location.PlusStrand
+              else o.Location.StartPosition)
+    return orfs
+
+
+def set_best_start_codon(query, hits, position_hits) -> None:
+    """Move a translated query's start to the latest alternative start at or
+    before its best hits' first matched k-mer (dna.go:198-272).  Mutates
+    `query` (a QueryRecord) and the bitmap lists in `position_hits` in place.
+
+    hits: list of (row_or_id, kmatch) sorted by kmatch desc.
+    position_hits: dict id -> list[bool] per-k-mer-position match bitmaps.
+    """
+    best_hits = []
+    best_score = 0
+    for hid, kmatch in hits:
+        if kmatch >= best_score:
+            best_score = kmatch
+            best_hits.append(hid)
+
+    alts = query.Location.StartsAlternative
+    if len(alts) < 1:
+        return
+
+    first_start = alts[0]
+    best_start = alts[0]
+
+    # Quirk preserved (dna.go:225-237): the `exit` flag is shared across best
+    # hits, so after the first hit contributes a position, later hits are only
+    # consulted at position 0.
+    first_best_hit_pos = 999999999
+    exit_flag = False
+    for hid in best_hits:
+        bitmap = position_hits.get(hid, [])
+        for i, is_match in enumerate(bitmap):
+            if is_match:
+                if i < first_best_hit_pos:
+                    first_best_hit_pos = i
+                exit_flag = True
+            if exit_flag:
+                break
+
+    for s in alts:
+        if s <= first_best_hit_pos:
+            best_start = s
+        else:
+            break
+
+    if best_start != first_start:
+        if query.Location.PlusStrand:
+            query.Location.StartPosition += 3 * best_start
+        else:
+            query.Location.StartPosition -= 3 * best_start
+        query.Sequence = query.Sequence[best_start:]
+        for key in list(position_hits.keys()):
+            position_hits[key] = position_hits[key][best_start:]
+        n = len(query.Sequence) - KMER_SIZE + 1
+        if query.Sequence.endswith("*"):
+            n -= 1
+        query.SizeInKmer = n
+
+    query.Location.StartsAlternative = []

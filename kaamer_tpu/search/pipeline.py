@@ -1,0 +1,259 @@
+"""End-to-end search flows: protein / nucleotide / fastq.
+
+Mirrors the reference drivers (search_protein.go, search_nucleotide.go,
+search_fastq.go) with batching instead of worker pools:
+
+  protein:    query FASTA -> length-bucketed device batches -> filter/format
+  nucleotide: per record, 6-frame ORF extraction -> ORF batch -> per-ORF
+              MinKMatch gate -> start-codon refinement -> filter/format
+  fastq:      like nucleotide over read records
+
+Results are emitted in deterministic query order (the reference's concurrent
+handlers interleave rows in completion order; any fixed order is compatible).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from ..io_formats.readers import (
+    QueryLocation,
+    QueryRecord,
+    read_fasta_queries,
+    read_fastq_queries,
+)
+from ..records import Protein
+from . import results as fmt
+from .engine import SearchEngine, QueryCounts, _next_pow2
+from .options import (
+    DNA_QUERY,
+    NUCLEOTIDE,
+    PROTEIN,
+    PROTEIN_QUERY,
+    READS,
+    SearchOptions,
+)
+from .orf import get_orfs, set_best_start_codon
+from .results import AlignmentResult, Hit, QueryResult
+
+KMER_SIZE = 7
+BATCH_MAX = 64
+
+
+def run_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[bytes]:
+    """Full response stream: header, rows, epilogue.  The byte layout matches
+    the reference HTTP writer (search.go:612-692)."""
+    db_stats = engine.art.stats
+
+    if opts.OutFormat == "tsv":
+        yield fmt.tsv_header(opts, db_stats).encode()
+    else:
+        yield fmt.json_prologue(opts, db_stats).encode()
+
+    first = True
+    for qr in iter_query_results(engine, opts):
+        if opts.Align:
+            _align_hits(engine, qr, opts)
+        if opts.OutFormat == "json":
+            data = fmt.json_result(qr, opts.Align).encode()
+            if not first:
+                yield b"," + data
+            else:
+                yield data
+            first = False
+        else:
+            for row in fmt.tsv_rows(qr, opts, db_stats):
+                yield row.encode()
+
+    if opts.OutFormat == "json":
+        yield fmt.JSON_EPILOGUE.encode()
+
+
+def iter_query_results(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryResult]:
+    if opts.SequenceType == PROTEIN:
+        yield from protein_search(engine, opts)
+    elif opts.SequenceType == NUCLEOTIDE:
+        yield from nucleotide_search(engine, opts, fastq=False)
+    else:
+        yield from nucleotide_search(engine, opts, fastq=True)
+
+
+# ---------------------------------------------------------------------------
+# Protein search
+# ---------------------------------------------------------------------------
+
+
+def _batched(queries: Iterator[QueryRecord]) -> Iterator[List[QueryRecord]]:
+    """Group queries into batches of similar length (same power-of-two
+    k-mer-count bucket) to limit padding waste."""
+    buckets: Dict[int, List[QueryRecord]] = {}
+    for q in queries:
+        b = _next_pow2(max(q.SizeInKmer, 8))
+        lst = buckets.setdefault(b, [])
+        lst.append(q)
+        if len(lst) >= BATCH_MAX:
+            yield lst
+            buckets[b] = []
+    for lst in buckets.values():
+        if lst:
+            yield lst
+
+
+def protein_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryResult]:
+    def queries():
+        for q in read_fasta_queries(opts.File, is_protein=True):
+            q.Type = PROTEIN_QUERY
+            # The reference kills the whole worker on a short query
+            # (search_protein.go:74-76, a bug); we skip just the query.
+            if q.SizeInKmer < 7:
+                continue
+            yield q
+
+    for batch in _batched(queries()):
+        counts = engine.count_batch(
+            [q.Sequence for q in batch], [q.SizeInKmer for q in batch],
+            k=max(opts.MaxResults, 1),
+        )
+        for q, qc in zip(batch, counts):
+            qr = _build_result(engine, q, qc, opts,
+                               need_positions=opts.ExtractPositions)
+            if qr is not None and qr.Hits:
+                yield qr
+
+
+def _build_result(
+    engine: SearchEngine,
+    q: QueryRecord,
+    qc: QueryCounts,
+    opts: SearchOptions,
+    need_positions: bool,
+) -> QueryResult:
+    ext_ids = np.asarray(engine.art.protein_ids)
+    hits = [
+        Hit(Key=int(ext_ids[int(r)]), Kmatch=int(c))
+        for r, c in zip(qc.hit_rows, qc.counts)
+    ]
+    qr = QueryResult(Query=q, Hits=hits, PositionHits={}, HitEntries={})
+    fmt.filter_results(qr, opts)
+    if not qr.Hits:
+        return qr
+    if need_positions:
+        rows = [int(r) for r, c in zip(qc.hit_rows, qc.counts)][: len(qr.Hits)]
+        bitmaps = engine.position_bitmaps(qc, rows)
+        qr.PositionHits = {
+            int(ext_ids[r]): bm for r, bm in bitmaps.items()
+        }
+    _fetch_entries(engine, qr)
+    return qr
+
+
+def _fetch_entries(engine: SearchEngine, qr: QueryResult) -> None:
+    art = engine.art
+    for h in qr.Hits:
+        if h.Key not in qr.HitEntries:
+            row = art.row_for_id(h.Key)
+            if row is not None:
+                qr.HitEntries[h.Key] = art.protein(row)
+
+
+# ---------------------------------------------------------------------------
+# Nucleotide / FASTQ search
+# ---------------------------------------------------------------------------
+
+
+def nucleotide_search(
+    engine: SearchEngine, opts: SearchOptions, fastq: bool
+) -> Iterator[QueryResult]:
+    if fastq:
+        records = read_fastq_queries(opts.File)
+    else:
+        records = read_fasta_queries(opts.File, is_protein=False)
+
+    def orf_queries():
+        for rec in records:
+            for orf in get_orfs(rec.Sequence, opts.GeneticCode):
+                n = len(orf.Sequence) - KMER_SIZE + 1
+                if orf.Sequence.endswith("*"):
+                    n -= 1
+                if n < 1:
+                    continue
+                yield QueryRecord(
+                    Sequence=orf.Sequence,
+                    Name=rec.Name,
+                    SizeInKmer=n,
+                    Type=DNA_QUERY,
+                    Location=QueryLocation(
+                        StartPosition=orf.Location.StartPosition,
+                        EndPosition=orf.Location.EndPosition,
+                        PlusStrand=orf.Location.PlusStrand,
+                        StartsAlternative=list(orf.Location.StartsAlternative),
+                    ),
+                    Contig=rec.Contig if not fastq else "",
+                )
+
+    ext_ids = np.asarray(engine.art.protein_ids)
+
+    for batch in _batched(orf_queries()):
+        counts = engine.count_batch(
+            [q.Sequence for q in batch], [q.SizeInKmer for q in batch],
+            k=max(opts.MaxResults, 1),
+        )
+        for q, qc in zip(batch, counts):
+            if qc.counts.size == 0 or int(qc.counts[0]) < opts.MinKMatch:
+                continue  # top-hit gate (search_nucleotide.go:116)
+
+            hits = [
+                Hit(Key=int(ext_ids[int(r)]), Kmatch=int(c))
+                for r, c in zip(qc.hit_rows, qc.counts)
+            ]
+            # Positions are always extracted for translated queries
+            # (search.go:416); compute them for every reported hit candidate.
+            rows = [int(r) for r in qc.hit_rows]
+            bitmaps_rows = engine.position_bitmaps(qc, rows)
+            position_hits = {
+                int(ext_ids[r]): bm for r, bm in bitmaps_rows.items()
+            }
+
+            qr = QueryResult(Query=q, Hits=hits,
+                             PositionHits=position_hits, HitEntries={})
+            set_best_start_codon(
+                qr.Query,
+                [(h.Key, h.Kmatch) for h in qr.Hits],
+                qr.PositionHits,
+            )
+            fmt.filter_results(qr, opts)
+            if qr.Hits:
+                # drop bitmaps of proteins outside the kept hit list (the
+                # reference deletes them in FilterResults)
+                kept = {h.Key for h in qr.Hits}
+                qr.PositionHits = {
+                    k: v for k, v in qr.PositionHits.items() if k in kept
+                }
+                _fetch_entries(engine, qr)
+                yield qr
+
+
+# ---------------------------------------------------------------------------
+# Alignment integration
+# ---------------------------------------------------------------------------
+
+
+def _align_hits(engine: SearchEngine, qr: QueryResult, opts: SearchOptions) -> None:
+    """QueryResultHandler's alignment step (search.go:483-494): align every
+    kept hit, then re-sort by bit score descending."""
+    from ..ops import swalign
+
+    for h in qr.Hits:
+        prot = qr.HitEntries.get(h.Key)
+        if prot is None:
+            continue
+        try:
+            h.Alignment = swalign.align(
+                qr.Query.Sequence, prot.Sequence, engine.art.stats,
+                opts.SubMatrix, opts.GapOpen, opts.GapExtend,
+            )
+        except swalign.NoMatrixError:
+            continue
+    qr.Hits.sort(key=lambda h: -h.Alignment.BitScore)

@@ -1,0 +1,259 @@
+"""Hit filtering and output formatting (TSV / JSON).
+
+Byte-format parity with the reference writer (search.go:472-742):
+
+- FilterResults semantics (search.go:189-220): hits sorted by k-match desc;
+  drop hits with kmatch/SizeInKmer < MinKRatio or kmatch < MinKMatch; cap at
+  MaxResults.
+- TSV headers and row layouts per search.go:636-692 and 497-607, including
+  the quirks: the no-align "GapOpen" column holds the comma count of the
+  positions string (search.go:520-523), SStart is the literal "1", SEnd is
+  the subject length only with -ann.
+- FormatPositionsToString (search.go:694-742) including its end-position
+  off-by-one: a run terminated inside the query reports the 1-based position
+  of the first non-matching k-mer as its end.
+- JSON mirrors Go json.Marshal of the reference structs: field order is
+  struct order, map keys sort lexicographically, protobuf-derived structs
+  (Protein) honor omitempty, and the zero Alignment struct is embedded when
+  alignment is off.
+
+Ranking tie-break: the reference inherits Go map iteration order for equal
+k-match (search.go:136-150, nondeterministic); we fix count desc, id asc.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from ..records import KStats, Protein
+from ..io_formats.readers import QueryRecord
+from .options import PROTEIN, SearchOptions
+
+KMER_SIZE = 7
+
+
+@dataclass
+class AlignmentResult:
+    """Mirrors reference align.AlignmentResult (align/align.go:17-31)."""
+
+    Identity: float = 0.0
+    Similarity: float = 0.0
+    Length: int = 0
+    Mismatches: int = 0
+    GapOpenings: int = 0
+    Raw: int = 0
+    BitScore: float = 0.0
+    EValue: float = 0.0
+    AlnString: str = ""
+    QueryStart: int = 0
+    QueryEnd: int = 0
+    SubjectStart: int = 0
+    SubjectEnd: int = 0
+
+    def to_json_obj(self) -> dict:
+        return {
+            "Identity": _jsnum(self.Identity),
+            "Similarity": _jsnum(self.Similarity),
+            "Length": self.Length,
+            "Mismatches": self.Mismatches,
+            "GapOpenings": self.GapOpenings,
+            "Raw": self.Raw,
+            "BitScore": _jsnum(self.BitScore),
+            "EValue": _jsnum(self.EValue),
+            "AlnString": self.AlnString,
+            "QueryStart": self.QueryStart,
+            "QueryEnd": self.QueryEnd,
+            "SubjectStart": self.SubjectStart,
+            "SubjectEnd": self.SubjectEnd,
+        }
+
+
+def _jsnum(x: float):
+    """Emit integral floats the way Go does (0, not 0.0)."""
+    if x == int(x) and abs(x) < 1e15:
+        return int(x)
+    return x
+
+
+@dataclass
+class Hit:
+    Key: int  # external protein id
+    Kmatch: int
+    Alignment: AlignmentResult = field(default_factory=AlignmentResult)
+
+
+@dataclass
+class QueryResult:
+    Query: QueryRecord
+    Hits: List[Hit]
+    PositionHits: Dict[int, List[bool]]
+    HitEntries: Dict[int, Protein]
+
+
+def filter_results(result: QueryResult, opts: SearchOptions) -> None:
+    """In-place FilterResults (search.go:189-220)."""
+    hits = result.Hits
+    good = 0
+    for h in hits:
+        size = result.Query.SizeInKmer
+        ratio = (h.Kmatch / size) if size else 0.0
+        if ratio < opts.MinKRatio or h.Kmatch < opts.MinKMatch:
+            break
+        good += 1
+    good = min(good, opts.MaxResults)
+    removed = hits[good:]
+    result.Hits = hits[:good]
+    for h in removed:
+        result.PositionHits.pop(h.Key, None)
+
+
+def format_positions(positions: List[bool], with_alignment: bool) -> str:
+    """FormatPositionsToString (search.go:694-742), quirks included."""
+    out: List[str] = []
+    current_start = 0
+    in_seq = False
+    for pos, match in enumerate(positions):
+        if match:
+            if not in_seq:
+                current_start = pos + 1
+                in_seq = True
+        else:
+            if in_seq:
+                end = pos + 1
+                if with_alignment:
+                    end += KMER_SIZE - 1
+                out.append(f"{current_start}-{end}")
+                in_seq = False
+    if in_seq:
+        end = len(positions)
+        if with_alignment:
+            end += KMER_SIZE - 1
+        out.append(f"{current_start}-{end}")
+    return ",".join(out)
+
+
+# ---------------------------------------------------------------------------
+# TSV
+# ---------------------------------------------------------------------------
+
+
+def tsv_header(opts: SearchOptions, db_stats: KStats) -> str:
+    if not opts.Align:
+        cols = "QueryId\tSubjectId\t%KMatchIdentity\tQueryKLength\tKMatch\tGapOpen\tQStart\tQEnd\tSStart\tSEnd"
+    else:
+        cols = "QueryId\tSubjectId\t%Identity\tAlnLength\tMismatches\tGapOpen\tQStart\tQEnd\tSStart\tSEnd\tEvalue\tBitscore"
+    if opts.ExtractPositions:
+        cols += "\tQueryPositions"
+    if opts.Annotations:
+        for annotation in db_stats.Features:
+            cols += "\t" + annotation
+    return cols + "\n"
+
+
+def _f32_pct(kmatch: int, size: int) -> str:
+    import numpy as np
+
+    v = np.float32(kmatch) / np.float32(size) * np.float32(100.0)
+    return f"{float(v):.2f}"
+
+
+def tsv_rows(qr: QueryResult, opts: SearchOptions, db_stats: KStats) -> List[str]:
+    rows = []
+    qname = qr.Query.Name.split(" ")[0]
+    for h in qr.Hits:
+        prot = qr.HitEntries.get(h.Key, Protein())
+        if not opts.Align:
+            out = [qname, prot.EntryId, _f32_pct(h.Kmatch, qr.Query.SizeInKmer),
+                   str(qr.Query.SizeInKmer), str(h.Kmatch)]
+            if opts.ExtractPositions:
+                pos_string = format_positions(qr.PositionHits.get(h.Key, []), False)
+                out.append(str(pos_string.count(",")))
+            else:
+                pos_string = ""
+                out.append("N/A")
+            out.append(str(qr.Query.Location.StartPosition))
+            out.append(str(qr.Query.Location.EndPosition))
+            out.append("1")  # subject always starts at 1 in k-mer mode
+            out.append(str(prot.Length) if opts.Annotations else "N/A")
+            if opts.ExtractPositions:
+                out.append(pos_string)
+        else:
+            a = h.Alignment
+            out = [qname, prot.EntryId, f"{a.Identity:.2f}", str(a.Length),
+                   str(a.Mismatches), str(a.GapOpenings)]
+            if opts.SequenceType != PROTEIN:
+                out.append(str(qr.Query.Location.StartPosition))
+                out.append(str(qr.Query.Location.EndPosition))
+            else:
+                out.append(str(a.QueryStart))
+                out.append(str(a.QueryEnd))
+            out.append(str(a.SubjectStart))
+            out.append(str(a.SubjectEnd))
+            out.append(f"{a.EValue:e}")
+            out.append(f"{a.BitScore:.2f}")
+            if opts.ExtractPositions:
+                out.append(format_positions(qr.PositionHits.get(h.Key, []), True))
+        if opts.Annotations:
+            for annotation in db_stats.Features:
+                out.append(prot.Features.get(annotation, ""))
+        rows.append("\t".join(out) + "\n")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# JSON
+# ---------------------------------------------------------------------------
+
+
+def json_result(qr: QueryResult, include_alignment: bool) -> str:
+    """json.Marshal(QueryResult) equivalent (field order = Go struct order,
+    map keys sorted lexicographically)."""
+    obj = {
+        "Query": {
+            "Sequence": qr.Query.Sequence,
+            "Name": qr.Query.Name,
+            "SizeInKmer": qr.Query.SizeInKmer,
+            "Type": qr.Query.Type,
+            "Location": {
+                "StartPosition": qr.Query.Location.StartPosition,
+                "EndPosition": qr.Query.Location.EndPosition,
+                "PlusStrand": qr.Query.Location.PlusStrand,
+                "StartsAlternative": list(qr.Query.Location.StartsAlternative),
+            },
+            "Contig": qr.Query.Contig,
+        },
+        "SearchResults": {
+            "Counter": {},
+            "Hits": [
+                {
+                    "Key": h.Key,
+                    "Kmatch": h.Kmatch,
+                    "Alignment": h.Alignment.to_json_obj(),
+                }
+                for h in qr.Hits
+            ],
+            "PositionHits": {
+                str(k): qr.PositionHits[k]
+                for k in sorted(qr.PositionHits, key=lambda x: str(x))
+            },
+        },
+        "HitEntries": {
+            str(k): qr.HitEntries[k].to_json_obj()
+            for k in sorted(qr.HitEntries, key=lambda x: str(x))
+        },
+    }
+    return json.dumps(obj, separators=(",", ":"), sort_keys=False)
+
+
+def json_prologue(opts: SearchOptions, db_stats: KStats) -> str:
+    parts = ['{"dbProteinFeatures":[']
+    if opts.Annotations:
+        parts.append(",".join(f'"{a}"' for a in db_stats.Features))
+    parts.append('],"results":[')
+    return "".join(parts)
+
+
+JSON_EPILOGUE = "]}"

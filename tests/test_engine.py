@@ -1,0 +1,125 @@
+import os
+
+import numpy as np
+import pytest
+
+from kaamer_tpu.index.build import build_db
+from kaamer_tpu.index.artifact import load_db
+from kaamer_tpu.search.engine import SearchEngine
+from oracle import OracleDB
+
+AA = "ACDEFGHIKLMNPQRSTUVWY"
+
+
+def _random_proteins(rng, n, min_len=30, max_len=120):
+    seqs = []
+    for _ in range(n):
+        L = int(rng.integers(min_len, max_len))
+        seqs.append("".join(rng.choice(list(AA), size=L)))
+    return seqs
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">prot{i} synthetic protein {i}\n")
+            for j in range(0, len(s), 60):
+                f.write(s[j : j + 60] + "\n")
+
+
+@pytest.fixture(scope="module")
+def synth_db(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    seqs = _random_proteins(rng, 60)
+    # add some shared segments so k-mer sets overlap
+    shared = "".join(rng.choice(list(AA), size=40))
+    seqs[10] = seqs[10][:20] + shared + seqs[10][20:]
+    seqs[11] = seqs[11][:5] + shared + seqs[11][5:]
+    seqs[12] = shared + shared
+
+    tmp = tmp_path_factory.mktemp("db")
+    fasta = str(tmp / "in.fasta")
+    dbdir = str(tmp / "db")
+    _write_fasta(fasta, seqs)
+    build_db(dbdir, fasta, "fasta")
+
+    art = load_db(dbdir)
+    from kaamer_tpu.records import Protein
+
+    entries = [
+        (int(art.protein_ids[i]), art.protein(i)) for i in range(art.num_proteins)
+    ]
+    oracle = OracleDB(entries)
+    return art, oracle, seqs
+
+
+def test_engine_matches_oracle_exact_queries(synth_db):
+    art, oracle, seqs = synth_db
+    engine = SearchEngine(art)
+
+    queries = [seqs[0], seqs[10], seqs[11], seqs[12], seqs[30][:50]]
+    sizes = [len(s) - 6 for s in queries]
+    res = engine.count_batch(queries, sizes, k=10)
+
+    ext = np.asarray(art.protein_ids)
+    for q, size, qc in zip(queries, sizes, res):
+        got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+        want, _ = oracle.kmer_search(q, size)
+        assert got[: len(want[:32])] == want[:32], f"query {q[:20]}..."
+
+
+def test_engine_matches_oracle_random_queries(synth_db):
+    art, oracle, seqs = synth_db
+    engine = SearchEngine(art)
+    rng = np.random.default_rng(7)
+
+    queries = []
+    for _ in range(40):
+        base = seqs[int(rng.integers(0, len(seqs)))]
+        lo = int(rng.integers(0, max(1, len(base) - 20)))
+        hi = min(len(base), lo + int(rng.integers(10, 80)))
+        q = list(base[lo:hi])
+        # random mutations
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, len(q)))
+            q[p] = AA[int(rng.integers(0, len(AA)))]
+        qs = "".join(q)
+        if len(qs) >= 7:
+            queries.append(qs)
+
+    sizes = [len(s) - 6 for s in queries]
+    res = engine.count_batch(queries, sizes, k=20)
+    ext = np.asarray(art.protein_ids)
+    for q, size, qc in zip(queries, sizes, res):
+        got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+        want, _ = oracle.kmer_search(q, size)
+        assert got == want[: len(got)], f"query {q}"
+
+
+def test_position_bitmaps_match_oracle(synth_db):
+    art, oracle, seqs = synth_db
+    engine = SearchEngine(art)
+
+    q = seqs[11]
+    size = len(q) - 6
+    (qc,) = engine.count_batch([q], [size], k=10)
+    ext = np.asarray(art.protein_ids)
+
+    want, want_pos = oracle.kmer_search(q, size)
+    rows = [int(r) for r in qc.hit_rows[:5]]
+    bitmaps = engine.position_bitmaps(qc, rows)
+    for r in rows:
+        pid = int(ext[r])
+        assert bitmaps[r] == want_pos[pid], f"hit {pid}"
+
+
+def test_queries_with_invalid_residues(synth_db):
+    art, oracle, seqs = synth_db
+    engine = SearchEngine(art)
+    q = seqs[0][:30] + "XXB" + seqs[0][30:60]
+    size = len(q) - 6
+    (qc,) = engine.count_batch([q], [size], k=10)
+    ext = np.asarray(art.protein_ids)
+    got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+    want, _ = oracle.kmer_search(q, size)
+    assert got == want[: len(got)]
