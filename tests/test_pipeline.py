@@ -1,0 +1,145 @@
+"""End-to-end search pipeline tests, anchored on the reference docs' golden
+query/result pair (docs/client.md:114-181: a beta-lactamase query whose top
+hit is BLAN1_KLEPN with Kmatch 264/264 and positions 1-264)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from kaamer_tpu.index.build import build_db
+from kaamer_tpu.index.artifact import load_db
+from kaamer_tpu.search.engine import SearchEngine
+from kaamer_tpu.search.options import NUCLEOTIDE, PROTEIN, SearchOptions
+from kaamer_tpu.search.pipeline import run_search
+
+# The published example sequence (docs/client.md:134/165)
+BLAN1 = (
+    "MELPNIMHPVAKLSTALAAALMLSGCMPGEIRPTIGQQMETGDQRFGDLVFRQLAPNVWQHTSYLDMPGFGAVASNGLIV"
+    "RDGGRVLVVDTAWTDDQTAQILNWIKQEINLPVALAVVTHAHQDKMGGMDALHAAGIATYANALSNQLAPQEGMVAAQHS"
+    "LTFAANGWVEPATAPNFGPLKVFYPGPGHTSDNITVGIDGTDIAFGGCLIKDSKAKSLGNLGDADTEHYAASARAFGAAF"
+    "PKASMIVMSHSAPDSRAAITHTARMADKLR"
+)
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+@pytest.fixture(scope="module")
+def fixture_db(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    tmp = tmp_path_factory.mktemp("fixdb")
+    fasta = tmp / "db.fasta"
+    with open(fasta, "w") as f:
+        for i in range(20):
+            L = int(rng.integers(50, 200))
+            seq = "".join(rng.choice(list(AA), size=L))
+            f.write(f">RND{i}_TEST random protein {i}\n{seq}\n")
+        f.write(">BLAN1_KLEPN Metallo-beta-lactamase type 2\n")
+        for j in range(0, len(BLAN1), 60):
+            f.write(BLAN1[j : j + 60] + "\n")
+    dbdir = str(tmp / "db")
+    build_db(dbdir, str(fasta), "fasta")
+    return load_db(dbdir)
+
+
+def _query_file(tmp_path, content):
+    p = tmp_path / "query.fasta"
+    p.write_text(content)
+    return str(p)
+
+
+def test_protein_search_tsv_fixture(fixture_db, tmp_path):
+    engine = SearchEngine(fixture_db)
+    qf = _query_file(tmp_path, ">query\n" + BLAN1 + "\n")
+    opts = SearchOptions(File=qf, SequenceType=PROTEIN, OutFormat="tsv",
+                         ExtractPositions=True, Annotations=True, MaxResults=1)
+    out = b"".join(run_search(engine, opts)).decode()
+    lines = out.strip().split("\n")
+    assert lines[0] == (
+        "QueryId\tSubjectId\t%KMatchIdentity\tQueryKLength\tKMatch\tGapOpen"
+        "\tQStart\tQEnd\tSStart\tSEnd\tQueryPositions\tProteinName"
+    )
+    assert len(lines) == 2
+    cols = lines[1].split("\t")
+    assert cols[0] == "query"
+    assert cols[1] == "BLAN1_KLEPN"
+    assert cols[2] == "100.00"
+    assert cols[3] == "264"  # QueryKLength = 270 - 7 + 1
+    assert cols[4] == "264"  # KMatch
+    assert cols[5] == "0"    # GapOpen column = comma count of positions
+    assert cols[6] == "1" and cols[7] == "270"
+    assert cols[8] == "1" and cols[9] == "270"
+    assert cols[10] == "1-264"
+    assert cols[11] == "Metallo-beta-lactamase type 2"
+
+
+def test_protein_search_json_fixture(fixture_db, tmp_path):
+    engine = SearchEngine(fixture_db)
+    qf = _query_file(tmp_path, ">query\n" + BLAN1 + "\n")
+    opts = SearchOptions(File=qf, SequenceType=PROTEIN, OutFormat="json",
+                         ExtractPositions=True, Annotations=True, MaxResults=1)
+    out = b"".join(run_search(engine, opts)).decode()
+    doc = json.loads(out)
+    assert doc["dbProteinFeatures"] == ["ProteinName"]
+    res = doc["results"]
+    assert len(res) == 1
+    r = res[0]
+    assert r["Query"]["Name"] == "query"
+    assert r["Query"]["SizeInKmer"] == 264
+    assert r["Query"]["Type"] == "Protein Query"
+    assert r["Query"]["Location"] == {
+        "StartPosition": 1, "EndPosition": 270, "PlusStrand": True,
+        "StartsAlternative": [],
+    }
+    hits = r["SearchResults"]["Hits"]
+    assert len(hits) == 1 and hits[0]["Kmatch"] == 264
+    key = str(hits[0]["Key"])
+    assert r["SearchResults"]["PositionHits"][key] == [True] * 264
+    entry = r["HitEntries"][key]
+    assert entry["EntryId"] == "BLAN1_KLEPN"
+    assert entry["Length"] == 270
+    assert r["SearchResults"]["Counter"] == {}
+
+
+def test_protein_search_align_tsv(fixture_db, tmp_path):
+    engine = SearchEngine(fixture_db)
+    # aligned self-search: identity 100, no gaps
+    qf = _query_file(tmp_path, ">query\n" + BLAN1 + "\n")
+    opts = SearchOptions(File=qf, SequenceType=PROTEIN, OutFormat="tsv",
+                         Align=True, MaxResults=1)
+    out = b"".join(run_search(engine, opts)).decode()
+    lines = out.strip().split("\n")
+    assert lines[0].startswith(
+        "QueryId\tSubjectId\t%Identity\tAlnLength\tMismatches\tGapOpen"
+    )
+    cols = lines[1].split("\t")
+    assert cols[1] == "BLAN1_KLEPN"
+    assert cols[2] == "100.00"
+    assert cols[3] == "270"   # full-length self alignment
+    assert cols[4] == "0" and cols[5] == "0"
+    assert cols[6] == "1" and cols[7] == "270"  # QueryStart/End
+    assert cols[8] == "1" and cols[9] == "270"  # SubjectStart/End
+    assert float(cols[10]) < 1e-50  # E-value of a perfect 270aa self-hit
+    assert float(cols[11]) > 100   # bit score
+
+
+def test_nucleotide_search_finds_protein(fixture_db, tmp_path):
+    from tests_codon_helper import encode_protein
+
+    engine = SearchEngine(fixture_db)
+    # express a fragment of BLAN1 as a gene with stop flanking
+    frag = "M" + BLAN1[1:100].replace("U", "")
+    gene = "ccc" + "taa" + encode_protein(frag) + "taa" + "gg"
+    qf = _query_file(tmp_path, ">contig1 test\n" + gene + "\n")
+    opts = SearchOptions(File=qf, SequenceType=NUCLEOTIDE, OutFormat="tsv",
+                         ExtractPositions=True, MaxResults=2)
+    out = b"".join(run_search(engine, opts)).decode()
+    lines = out.strip().split("\n")
+    rows = [l.split("\t") for l in lines[1:]]
+    blan_rows = [r for r in rows if r[1] == "BLAN1_KLEPN"]
+    assert blan_rows
+    r = blan_rows[0]
+    assert r[0] == "contig1"
+    assert int(r[4]) >= 90  # ~94 of 94 k-mers of the 100aa fragment
+    # genomic location columns present
+    assert int(r[6]) == 7 and int(r[7]) == len(gene) - 2
