@@ -82,8 +82,8 @@ class DBArtifact:
     _features: _BlobReader = None
     # indexed representation
     hash_table: Optional[np.ndarray] = None   # uint64[H]
-    hash_log2_size: int = 0
-    hash_max_probe: int = 0
+    hash_primary_log2: int = 0
+    hash_secondary_log2: int = 0
     set_offsets: Optional[np.ndarray] = None  # uint64[S+1]
     postings: Optional[np.ndarray] = None     # uint32[P]
     # unindexed representation
@@ -124,8 +124,8 @@ def save_db(
     features: List[bytes],
     pairs: Optional[np.ndarray] = None,
     hash_table: Optional[np.ndarray] = None,
-    hash_log2_size: int = 0,
-    hash_max_probe: int = 0,
+    hash_primary_log2: int = 0,
+    hash_secondary_log2: int = 0,
     set_offsets: Optional[np.ndarray] = None,
     postings: Optional[np.ndarray] = None,
 ):
@@ -154,8 +154,8 @@ def save_db(
         "stats": stats.to_json_obj(),
         "settings": settings.to_json_obj(),
         "hash": {
-            "log2_size": hash_log2_size,
-            "max_probe": hash_max_probe,
+            "primary_log2": hash_primary_log2,
+            "secondary_log2": hash_secondary_log2,
         },
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -181,8 +181,8 @@ def load_db(path: str, mmap: bool = True) -> DBArtifact:
     )
     if indexed:
         art.hash_table = np.load(os.path.join(path, "hash_table.npy"), mmap_mode=mm)
-        art.hash_log2_size = meta["hash"]["log2_size"]
-        art.hash_max_probe = meta["hash"]["max_probe"]
+        art.hash_primary_log2 = meta["hash"]["primary_log2"]
+        art.hash_secondary_log2 = meta["hash"]["secondary_log2"]
         art.set_offsets = np.load(os.path.join(path, "set_offsets.npy"), mmap_mode=mm)
         art.postings = np.load(os.path.join(path, "postings.npy"), mmap_mode=mm)
     else:

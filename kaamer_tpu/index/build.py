@@ -270,8 +270,8 @@ def index_db(db_path: str, progress: bool = False) -> None:
         sequences=sequences,
         features=features,
         hash_table=ht.table,
-        hash_log2_size=ht.log2_size,
-        hash_max_probe=ht.max_probe,
+        hash_primary_log2=ht.primary_log2,
+        hash_secondary_log2=ht.secondary_log2,
         set_offsets=set_offsets,
         postings=postings,
     )

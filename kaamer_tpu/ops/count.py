@@ -33,24 +33,34 @@ def gather_postings(postings, offs, cum, total, cap: int):
     total:    int32[B]       total postings per query (== cum[:, -1])
     Entries beyond `total` are ROW_SENTINEL.  Also returns seg, the k-mer
     position index each entry came from (for position bitmaps).
+
+    The flat-position -> segment mapping is computed as a dense comparison
+    count, seg[b,j] = sum_l [cum[b,l] <= j]: pure VPU work, which on TPU
+    beats the gather-heavy binary search (vmapped searchsorted) by ~10x.
+    The segment's exclusive start is recovered the same way, as
+    max_l cum[b,l]*[cum[b,l] <= j], saving another gather.
     """
-    B = offs.shape[0]
-    j = jnp.arange(cap, dtype=jnp.int32)[None, :]  # [1, cap]
+    B, L = offs.shape
+    # chunk the [B, L, cap_chunk] comparison volume to bound working set
+    chunk = max(512, min(cap, (1 << 24) // max(L, 1)))
+    segs = []
+    prevs = []
+    for c0 in range(0, cap, chunk):
+        c1 = min(cap, c0 + chunk)
+        j3 = jnp.arange(c0, c1, dtype=jnp.int32)[None, None, :]
+        le = cum[:, :, None] <= j3                                 # [B, L, c]
+        segs.append(le.astype(jnp.int32).sum(axis=1))
+        prevs.append(jnp.max(jnp.where(le, cum[:, :, None], 0), axis=1))
+    seg = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+    prev = prevs[0] if len(prevs) == 1 else jnp.concatenate(prevs, axis=1)
 
-    # Which k-mer segment does flat position j belong to?
-    seg = jax.vmap(lambda c: jnp.searchsorted(c, jnp.arange(cap, dtype=jnp.int32), side="right"))(cum)
-    seg = jnp.minimum(seg, offs.shape[1] - 1).astype(jnp.int32)
-
-    prev = jnp.where(
-        seg > 0,
-        jnp.take_along_axis(cum, jnp.maximum(seg - 1, 0), axis=1),
-        0,
-    )
-    src = jnp.take_along_axis(offs, seg, axis=1) + (j - prev)
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    seg_cl = jnp.minimum(seg, L - 1)
+    src = jnp.take_along_axis(offs, seg_cl, axis=1) + (j - prev)
     valid = j < total[:, None]
     src = jnp.where(valid, src, 0)
     rows = jnp.where(valid, jnp.take(postings, src.reshape(-1)).reshape(B, cap), ROW_SENTINEL)
-    return rows, seg, valid
+    return rows, seg_cl, valid
 
 
 def count_topk(rows, k: int):

@@ -2,56 +2,54 @@
 
 The reference resolves each query k-mer with two Badger LSM point reads and a
 protobuf unmarshal inside a goroutine loop (search.go:419-437).  Here the
-entire batch is resolved at once against the in-HBM open-addressing table:
-a vectorized multiplicative-hash + linear-probe loop where every round is one
-XLA row-gather over the packed table, and the loop exits as soon as every
-lane has hit or proven a miss (expected ~2 rounds at load factor 0.5).
+entire batch is resolved against the in-HBM bucketed two-level table
+(index/hashtable.py) with exactly TWO dense row-gathers -- one per level --
+plus vectorized compares.  No data-dependent loops: on TPU a while-loop probe
+pays per-iteration launch overhead and worst-case cluster depth; the bucketed
+layout makes the probe shape static and load-independent.
 
-The table is the uint64 array built by index.hashtable, viewed on device as
-uint32[H, 2] (little-endian: column 0 = value, column 1 = key) so key and
-value arrive in a single gather.
+The table is viewed on device as uint32[(2^p+2^s)*W, 2] (little-endian:
+column 0 = value, column 1 = key).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-HASH_MULT = np.uint32(0x9E3779B1)
+from ..index.hashtable import BUCKET_W, HASH_MULT, HASH_MULT2
+
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
 
 
-def probe(table2, queries, log2_size: int, max_probe: int, miss_value):
+def probe(table2, queries, primary_log2: int, secondary_log2: int, miss_value):
     """Look up a batch of k-mer codes.
 
-    table2:   uint32[H, 2] device array (col 0 value, col 1 key)
+    table2:   uint32[(2^p+2^s)*W, 2] device array (col 0 value, col 1 key)
     queries:  uint32[...] k-mer codes
-    returns:  uint32[...] set ids; `miss_value` where absent.
+    returns:  uint32[...] values; `miss_value` where absent.
     """
     shape = queries.shape
     q = queries.reshape(-1)
     m = q.shape[0]
-    mask = np.int32((1 << log2_size) - 1)
-    shift = np.uint32(32 - log2_size)
+    w = jnp.arange(BUCKET_W, dtype=jnp.int32)[None, :]
 
-    idx0 = ((q * HASH_MULT) >> shift).astype(jnp.int32)
-    out0 = jnp.full((m,), miss_value, dtype=jnp.uint32)
-    done0 = jnp.zeros((m,), dtype=jnp.bool_)
+    out = jnp.full((m,), miss_value, dtype=jnp.uint32)
+    found = jnp.zeros((m,), dtype=jnp.bool_)
 
-    def cond(state):
-        i, _, done, _ = state
-        return jnp.logical_and(i < max_probe, jnp.logical_not(jnp.all(done)))
-
-    def body(state):
-        i, idx, done, out = state
-        slot = jnp.take(table2, idx, axis=0)  # [m, 2] single gather
-        val, key = slot[:, 0], slot[:, 1]
-        hit = jnp.logical_and(key == q, jnp.logical_not(done))
-        out = jnp.where(hit, val, out)
-        done = jnp.logical_or(done, jnp.logical_or(hit, key == EMPTY_KEY))
-        idx = jnp.where(done, idx, (idx + 1) & mask)
-        return i + 1, idx, done, out
-
-    _, _, _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), idx0, done0, out0))
+    levels = (
+        (0, HASH_MULT, np.uint32(32 - primary_log2)),
+        ((1 << primary_log2) * BUCKET_W, HASH_MULT2, np.uint32(32 - secondary_log2)),
+    )
+    for base, mult, shift in levels:
+        bucket = ((q * mult) >> shift).astype(jnp.int32)
+        rows = base + bucket[:, None] * BUCKET_W + w          # [m, W]
+        slots = jnp.take(table2, rows.reshape(-1), axis=0).reshape(m, BUCKET_W, 2)
+        keys = slots[:, :, 1]
+        vals = slots[:, :, 0]
+        hit = keys == q[:, None]                              # at most one slot
+        anyhit = hit.any(axis=1)
+        val = jnp.where(hit, vals, 0).sum(axis=1).astype(jnp.uint32)
+        out = jnp.where(jnp.logical_and(anyhit, jnp.logical_not(found)), val, out)
+        found = jnp.logical_or(found, anyhit)
     return out.reshape(shape)

@@ -1,0 +1,252 @@
+"""Multi-device search: data-parallel queries over a sharded k-mer index.
+
+The reference is a single-host Go program whose only parallelism is goroutine
+pools over one Badger instance (SURVEY §2.3).  The TPU-native scale-out:
+
+- Mesh axes (dp, shard): "dp" shards query batches (data parallel); "shard"
+  shards the INDEX by k-mer ownership (hash top bits), the hash-table
+  analogue of tensor parallelism.
+- Per device: probe its index shard with the full dp-local query batch and
+  expand its postings contribution [B, cap].
+- lax.all_to_all over "shard" redistributes contributions so each device
+  finalizes B/n_shards queries with ALL shards' postings [B/n, n*cap]
+  (the "all-to-all hit return" of BASELINE.json's north star), then
+  sort + RLE + top_k locally.
+- Counts merge exactly: every (kmer -> protein) posting lives on exactly one
+  shard, so concatenation before RLE reproduces single-chip counts.
+
+Works identically on real multi-chip meshes and on virtual CPU device meshes
+(XLA_FLAGS=--xla_force_host_platform_device_count=N).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+from ..index.hashtable import BUCKET_W, EMPTY_SLOT, HASH_MULT, build_table
+from ..index.artifact import DBArtifact
+
+KMER_SIZE = 7
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(n, 1)))))
+
+
+@dataclass
+class ShardedIndexArrays:
+    """Host-side per-shard index arrays, padded to uniform shapes.
+
+    tables:      uint32[n_shards, H, 2]
+    set_starts:  int32[n_shards, S_max + 2]  (sentinel empty set appended)
+    postings:    uint32[n_shards, P_max]
+    """
+
+    tables: np.ndarray
+    set_starts: np.ndarray
+    postings: np.ndarray
+    primary_log2: int
+    secondary_log2: int
+    n_shards: int
+
+    @property
+    def n_sets_padded(self) -> int:
+        return self.set_starts.shape[1] - 2
+
+
+def shard_owner(kmers: np.ndarray, n_shards: int) -> np.ndarray:
+    """Owner shard of each k-mer: top bits of the multiplicative hash (the
+    SAME hash family as slot placement uses lower-order of; ownership uses
+    the highest bits so in-shard placement stays uniform)."""
+    h = kmers.astype(np.uint32) * HASH_MULT
+    return ((h.astype(np.uint64) * np.uint64(n_shards)) >> np.uint64(32)).astype(np.int64)
+
+
+def shard_index(art: DBArtifact, n_shards: int) -> ShardedIndexArrays:
+    """Split an indexed artifact into per-shard probe structures."""
+    return shard_index_arrays(
+        np.asarray(art.hash_table),
+        np.asarray(art.set_offsets),
+        np.asarray(art.postings),
+        n_shards,
+    )
+
+
+def shard_index_arrays(
+    hash_table: np.ndarray,
+    set_offsets: np.ndarray,
+    postings: np.ndarray,
+    n_shards: int,
+) -> ShardedIndexArrays:
+    table = np.ascontiguousarray(hash_table)
+    occupied = table != EMPTY_SLOT
+    entries = table[occupied]
+    kmers = (entries >> np.uint64(32)).astype(np.uint32)
+    set_ids = (entries & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    global_starts = set_offsets
+
+    owners = shard_owner(kmers, n_shards)
+
+    shard_starts = []
+    shard_posts = []
+    shard_keys = []
+    shard_vals = []
+    # first pass: compute per-shard sizes to pick a common primary log2
+    shard_kmer_count = np.bincount(owners, minlength=n_shards)
+    common_p = max(
+        4, int(np.ceil(np.log2(max(int(shard_kmer_count.max()), 2) / (BUCKET_W // 2))))
+    )
+
+    for s in range(n_shards):
+        sel = owners == s
+        k_s = kmers[sel]
+        sid_s = set_ids[sel]
+        # unique sets used by this shard, re-indexed locally
+        uniq_sets, local_ids = np.unique(sid_s, return_inverse=True)
+        lens = (global_starts[uniq_sets + 1] - global_starts[uniq_sets]).astype(np.int64)
+        starts_local = np.zeros(uniq_sets.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts_local[1:])
+        total = int(starts_local[-1])
+        post_local = np.empty(total, dtype=np.uint32)
+        src = (
+            np.repeat(global_starts[uniq_sets].astype(np.int64), lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(starts_local[:-1], lens)
+        )
+        post_local[:] = postings[src]
+
+        shard_keys.append(k_s)
+        shard_vals.append(local_ids.astype(np.uint32))
+        shard_starts.append(starts_local)
+        shard_posts.append(post_local)
+
+    # build with a shared structure; grow the common secondary log2 until
+    # every shard fits, so all tables are shape-identical
+    common_s = 0
+    while True:
+        shard_tables = [
+            build_table(k, v, min_log2=common_p, min_secondary_log2=common_s)
+            for k, v in zip(shard_keys, shard_vals)
+        ]
+        s_max = max(t.secondary_log2 for t in shard_tables)
+        if all(t.secondary_log2 == s_max for t in shard_tables):
+            common_s = s_max
+            break
+        common_s = s_max
+    shard_tables = [t.table for t in shard_tables]
+
+    S_max = max(st.size - 1 for st in shard_starts)
+    P_max = max(1, _next_pow2(max(p.size for p in shard_posts)))
+
+    tables = np.stack(shard_tables).view(np.uint32).reshape(n_shards, -1, 2)
+    starts_pad = np.zeros((n_shards, S_max + 2), dtype=np.int32)
+    posts_pad = np.zeros((n_shards, P_max), dtype=np.uint32)
+    for s in range(n_shards):
+        st = shard_starts[s]
+        starts_pad[s, : st.size] = st.astype(np.int32)
+        starts_pad[s, st.size :] = np.int32(st[-1])  # padded sets are empty
+        posts_pad[s, : shard_posts[s].size] = shard_posts[s]
+
+    return ShardedIndexArrays(
+        tables=tables,
+        set_starts=starts_pad,
+        postings=posts_pad,
+        primary_log2=common_p,
+        secondary_log2=common_s,
+        n_shards=n_shards,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side sharded search step
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
+                        secondary_log2: int, cap: int, k: int):
+    """Build the jitted multi-device search step over `mesh` with axes
+    ("dp", "shard").
+
+    Returns fn(tables, set_starts, postings, codes, n_kmers) ->
+    (counts int32[B, k], hit_rows uint32[B, k]) with B divisible by
+    dp * shard sizes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from .. import codec
+    from ..ops.count import count_topk, gather_postings
+    from ..ops.probe import probe
+
+    n_shards = mesh.shape["shard"]
+
+    def local_step(table2, set_starts, postings, codes, n_kmers):
+        # shapes inside shard_map (per device):
+        # table2 [1, H, 2]; set_starts [1, S+2]; postings [1, P];
+        # codes [B_dp, L+6] (replicated over "shard"); n_kmers [B_dp]
+        table2 = table2[0]
+        set_starts = set_starts[0]
+        postings = postings[0]
+
+        L = codes.shape[1] - (KMER_SIZE - 1)
+        kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes)
+        ids = probe(table2, kmers, primary_log2, secondary_log2,
+                    miss_value=np.uint32(n_sets_padded))
+        lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+        ids = jnp.where(lane < n_kmers[:, None], ids, jnp.uint32(n_sets_padded))
+        ids_i = ids.astype(jnp.int32)
+        offs = jnp.take(set_starts, ids_i)
+        lens = jnp.take(set_starts, ids_i + 1) - offs
+        cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
+        total = cum[:, -1]
+
+        rows, _, _ = gather_postings(postings, offs, cum, total, cap)
+
+        # every shard holds a disjoint postings subset; swap so each device
+        # finalizes B_dp/n_shards queries over all shards' contributions
+        rows_ex = jax.lax.all_to_all(
+            rows, "shard", split_axis=0, concat_axis=1, tiled=True
+        )
+        counts, hit_rows = count_topk(rows_ex, k)
+        return counts, hit_rows
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),   # tables
+            P("shard", None),         # set_starts
+            P("shard", None),         # postings
+            P("dp", None),            # codes (replicated over shard)
+            P("dp",),                 # n_kmers
+        ),
+        out_specs=(P(("dp", "shard"), None), P(("dp", "shard"), None)),
+        # codes are replicated over "shard" while table gathers vary over it;
+        # the probe loop carry mixes the two, so disable the vma check
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def replicate_query_batch(seqs, sizes, batch_mult: int):
+    """Pad a query batch so B is divisible by dp*shard, returning codes and
+    n_kmers arrays (padding queries have 0 k-mers)."""
+    from .. import codec as _codec
+
+    B0 = len(seqs)
+    B = max(batch_mult, ((B0 + batch_mult - 1) // batch_mult) * batch_mult)
+    L = _next_pow2(max(max(sizes), 8) if sizes else 8)
+    codes = np.full((B, L + KMER_SIZE - 1), -1, dtype=np.int32)
+    n_kmers = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = _codec.seq_to_codes(s)[: L + KMER_SIZE - 1]
+        codes[i, : c.shape[0]] = c
+        n_kmers[i] = sizes[i]
+    return codes, n_kmers

@@ -3,32 +3,35 @@
 The serving pipeline (replacing the per-k-mer LSM pointer chase of reference
 search.go:414-440 with static-shaped device batches):
 
-  host: read queries, bucket by length, pad residue codes to [B, L+K-1]
+  host: read queries, bucket by length, pad residue codes to int8[B, L+K-1]
   dev : encode 7-mers -> hash probe -> postings CSR expand -> sort ->
-        run-length encode -> top_k                        (phase1 + phase2)
+        run-length encode -> top_k     (ONE fused jit call per shape bucket)
   host: reference-exact filtering (FilterResults, search.go:189-220),
         position bitmaps, formatting.
 
-Two jitted phases: phase 1 is shape-keyed on [B, L]; after it reports each
-query's total postings volume, the host picks a power-of-two expansion
-capacity and runs phase 2 keyed on [B, cap, k].  Queries whose postings
-volume exceeds CAP_MAX fall back to a host bincount (unbounded, rare).
+Transfer discipline (the chip may sit behind a high-latency link): one int8
+upload per batch, one small device_get of (counts, hit_rows, totals) back.
+The postings expansion capacity `cap` is a power-of-two bucket chosen
+adaptively; when a batch's true postings volume exceeds it, the batch is
+re-run at the next bucket (compile caches make this cheap), and beyond
+CAP_MAX single queries fall back to a host bincount.  Per-k-mer set ids stay
+on device and are pulled lazily, only when position bitmaps are requested.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from .. import codec
 from ..index.artifact import DBArtifact
-from ..records import Protein
 
 KMER_SIZE = 7
 CAP_MAX = 1 << 21
+CAP_MIN = 1 << 10
 TOPK_MIN = 32
 
 
@@ -39,25 +42,61 @@ def _next_pow2(n: int) -> int:
 @dataclass
 class QueryCounts:
     """Raw counting result for one query: top hits (dense rows) with their
-    k-match counts, plus per-k-mer postings slices for position lookups."""
+    k-match counts, plus lazily materialized per-k-mer postings slices for
+    position lookups."""
 
     hit_rows: np.ndarray    # uint32[k'] dense protein rows, count desc
     counts: np.ndarray      # int32[k']
-    offs: np.ndarray        # int64[L] per-k-mer postings start
-    lens: np.ndarray        # int64[L] per-k-mer postings length
+    _engine: "SearchEngine" = field(repr=False, default=None)
+    _batch: "_BatchIds" = field(repr=False, default=None)
+    _row: int = 0
+    _n_kmers: int = 0
+    _offs: Optional[np.ndarray] = None
+    _lens: Optional[np.ndarray] = None
+
+    def _materialize_slices(self):
+        if self._offs is None:
+            ids = self._batch.host()[self._row, : self._n_kmers].astype(np.int64)
+            starts = self._engine.set_starts_np
+            self._offs = starts[ids].astype(np.int64)
+            self._lens = (starts[ids + 1] - starts[ids]).astype(np.int64)
+
+    @property
+    def offs(self) -> np.ndarray:
+        self._materialize_slices()
+        return self._offs
+
+    @property
+    def lens(self) -> np.ndarray:
+        self._materialize_slices()
+        return self._lens
+
+
+class _BatchIds:
+    """Shared handle to a batch's device-resident per-k-mer set ids; pulled
+    to host at most once, and only if some query needs position bitmaps."""
+
+    def __init__(self, ids_dev):
+        self._dev = ids_dev
+        self._np = None
+
+    def host(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self._dev)
+            self._dev = None
+        return self._np
 
 
 class SearchEngine:
     """Holds the device-resident index and runs batched searches."""
 
-    def __init__(self, art: DBArtifact, use_device: bool = True):
+    def __init__(self, art: DBArtifact):
         if not art.indexed:
             raise ValueError("database is not indexed; run index_db first")
         import jax
         import jax.numpy as jnp
 
         self._jax = jax
-        self._jnp = jnp
         self.art = art
 
         table = np.ascontiguousarray(np.asarray(art.hash_table))
@@ -72,18 +111,19 @@ class SearchEngine:
         self.postings_np = np.asarray(art.postings)
         self.postings = jnp.asarray(self.postings_np)
         self.n_sets = int(so.size - 1)
-        self.log2 = art.hash_log2_size
-        self.max_probe = art.hash_max_probe
+        self.primary_log2 = art.hash_primary_log2
+        self.secondary_log2 = art.hash_secondary_log2
+        self._cap_hint = CAP_MIN
 
-        self._phase1 = jax.jit(
+        self._fused = jax.jit(
             partial(
-                _phase1_impl,
+                _fused_impl,
                 n_sets=self.n_sets,
-                log2=self.log2,
-                max_probe=self.max_probe,
-            )
+                primary_log2=self.primary_log2,
+                secondary_log2=self.secondary_log2,
+            ),
+            static_argnames=("cap", "k"),
         )
-        self._phase2 = jax.jit(_phase2_impl, static_argnames=("cap", "k"))
 
     # ------------------------------------------------------------------
     # Core batched counting
@@ -95,56 +135,67 @@ class SearchEngine:
         """Count k-mer hits for a batch of equal-bucket queries.
 
         seqs: query sequences; sizes: SizeInKmer per query (kmers [0, size)
-        are searched, which already excludes a trailing '*').
-        """
-        jnp = self._jnp
+        are searched, which already excludes a trailing '*')."""
+        import jax.numpy as jnp
+
         B = len(seqs)
         if B == 0:
             return []
         L = _next_pow2(max(max(sizes), 8))
-        codes = np.full((B, L + KMER_SIZE - 1), -1, dtype=np.int32)
+        codes = np.full((B, L + KMER_SIZE - 1), -1, dtype=np.int8)
         for i, s in enumerate(seqs):
             c = codec.seq_to_codes(s)[: L + KMER_SIZE - 1]
             codes[i, : c.shape[0]] = c
         n_kmers = np.asarray(sizes, dtype=np.int32)
 
-        ids, offs, lens, cum = self._phase1(
-            self.table2, self.set_starts, jnp.asarray(codes), jnp.asarray(n_kmers)
-        )
-        totals = np.asarray(cum[:, -1])
-        offs_np = np.asarray(offs)
-        lens_np = np.asarray(lens)
+        codes_dev = jnp.asarray(codes)
+        n_dev = jnp.asarray(n_kmers)
 
-        cap = int(min(_next_pow2(max(int(totals.max()), 1)), CAP_MAX))
-        overflow = totals > CAP_MAX
+        cap = self._cap_hint
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
-
-        if not overflow.all():
-            counts, hit_rows = self._phase2(
-                self.postings, offs, cum, cap=cap, k=k_eff
+        while True:
+            counts, hit_rows, totals, ids = self._fused(
+                self.table2, self.set_starts, self.postings,
+                codes_dev, n_dev, cap=cap, k=k_eff,
             )
-            counts = np.asarray(counts)
-            hit_rows = np.asarray(hit_rows)
+            counts_h, hits_h, totals_h = self._jax.device_get(
+                (counts, hit_rows, totals)
+            )
+            max_total = int(totals_h.max())
+            if max_total <= cap or cap >= CAP_MAX:
+                break
+            cap = min(_next_pow2(max_total), CAP_MAX)
+            k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
+        # adapt the starting bucket toward observed volume
+        self._cap_hint = max(CAP_MIN, min(_next_pow2(max(max_total, 1)), CAP_MAX))
 
+        overflow = totals_h > CAP_MAX
+
+        batch_ids = _BatchIds(ids)
         out: List[QueryCounts] = []
         for i in range(B):
-            Lq = sizes[i]
             if overflow[i]:
-                qc = self._count_host(offs_np[i, :Lq], lens_np[i, :Lq], k_eff)
+                qc = self._count_host_row(batch_ids, i, sizes[i], k_eff)
             else:
-                c = counts[i]
+                c = counts_h[i]
                 nz = c > 0
                 qc = QueryCounts(
-                    hit_rows=hit_rows[i][nz],
+                    hit_rows=hits_h[i][nz],
                     counts=c[nz],
-                    offs=offs_np[i, :Lq].astype(np.int64),
-                    lens=lens_np[i, :Lq].astype(np.int64),
+                    _engine=self,
+                    _batch=batch_ids,
+                    _row=i,
+                    _n_kmers=sizes[i],
                 )
             out.append(qc)
         return out
 
-    def _count_host(self, offs: np.ndarray, lens: np.ndarray, k: int) -> QueryCounts:
+    def _count_host_row(self, batch_ids: "_BatchIds", i: int, n_kmers: int, k: int) -> QueryCounts:
         """Unbounded host fallback (np.bincount) for postings-heavy queries."""
+        ids = batch_ids.host()[i, :n_kmers].astype(np.int64)
+        starts = self.set_starts_np
+        offs = starts[ids].astype(np.int64)
+        lens = (starts[ids + 1] - starts[ids]).astype(np.int64)
         segs = [
             self.postings_np[int(o) : int(o) + int(l)]
             for o, l in zip(offs, lens)
@@ -160,12 +211,11 @@ class SearchEngine:
         else:
             hit_rows = np.empty(0, np.uint32)
             counts = np.empty(0, np.int32)
-        return QueryCounts(
-            hit_rows=hit_rows,
-            counts=counts,
-            offs=offs.astype(np.int64),
-            lens=lens.astype(np.int64),
-        )
+        qc = QueryCounts(hit_rows=hit_rows, counts=counts, _engine=self,
+                         _n_kmers=n_kmers)
+        qc._offs = offs
+        qc._lens = lens
+        return qc
 
     # ------------------------------------------------------------------
     # Position bitmaps
@@ -187,20 +237,20 @@ class SearchEngine:
 
 
 # ---------------------------------------------------------------------------
-# jitted phase implementations (free functions so jax.jit caching works on
-# engine re-instantiation)
+# jitted implementation
 # ---------------------------------------------------------------------------
 
 
-def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, log2, max_probe):
+def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, primary_log2, secondary_log2):
     import jax
     import jax.numpy as jnp
 
     from ..ops.probe import probe
 
     L = codes.shape[1] - (KMER_SIZE - 1)
+    codes = codes.astype(jnp.int32)
     kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes)
-    ids = probe(table2, kmers, log2, max_probe, miss_value=np.uint32(n_sets))
+    ids = probe(table2, kmers, primary_log2, secondary_log2, miss_value=np.uint32(n_sets))
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
     ids = jnp.where(lane < n_kmers[:, None], ids, jnp.uint32(n_sets))
     ids_i = ids.astype(jnp.int32)
@@ -217,3 +267,18 @@ def _phase2_impl(postings, offs, cum, *, cap: int, k: int):
     rows, _, _ = gather_postings(postings, offs, cum, total, cap)
     counts, hit_rows = count_topk(rows, k)
     return counts, hit_rows
+
+
+def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
+                n_sets, primary_log2, secondary_log2, cap, k):
+    """Single-dispatch search step: probe + expand + count + rank.
+
+    Returns (counts int32[B,k], hit_rows uint32[B,k], totals int32[B],
+    ids uint32[B,L]); ids are returned for lazy host-side position lookups.
+    """
+    ids, offs, _, cum = _phase1_impl(
+        table2, set_starts, codes, n_kmers,
+        n_sets=n_sets, primary_log2=primary_log2, secondary_log2=secondary_log2,
+    )
+    counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
+    return counts, hit_rows, cum[:, -1], ids

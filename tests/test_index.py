@@ -10,7 +10,7 @@ def test_hashtable_roundtrip():
     keys = np.unique(rng.integers(0, 2**32 - 2, size=5000, dtype=np.uint32))
     vals = np.arange(keys.size, dtype=np.uint32)
     ht = build_table(keys, vals)
-    assert ht.max_probe >= 1
+    assert ht.primary_log2 >= 3
 
     got = lookup_np(ht, keys, missing=0xFFFF)
     np.testing.assert_array_equal(got, vals)
