@@ -1,0 +1,127 @@
+"""HTTP API end-to-end: in-process server + urllib client."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from kaamer_tpu.index.build import build_db
+from kaamer_tpu.index.artifact import load_db
+from kaamer_tpu.search.engine import SearchEngine
+from kaamer_tpu.server.app import make_handler
+from kaamer_tpu.server import client as cli_client
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    tmp = tmp_path_factory.mktemp("srvdb")
+    fasta = tmp / "db.fasta"
+    seqs = []
+    with open(fasta, "w") as f:
+        for i in range(30):
+            L = int(rng.integers(60, 150))
+            s = "".join(rng.choice(list(AA), size=L))
+            seqs.append(s)
+            f.write(f">SP{i} test protein {i}\n{s}\n")
+    dbdir = str(tmp / "db")
+    build_db(dbdir, str(fasta), "fasta")
+    engine = SearchEngine(load_db(dbdir))
+
+    handler = make_handler(engine, str(tmp), {})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", seqs, tmp
+    httpd.shutdown()
+
+
+def test_dbinfo(server):
+    url, seqs, _ = server
+    with urllib.request.urlopen(url + "/api/dbinfo") as resp:
+        info = json.loads(resp.read())
+    assert info["NumberOfProteins"] == 30
+    assert info["Features"] == ["ProteinName"]
+
+
+def _post_form(url, fields):
+    data = urllib.parse.urlencode(fields).encode()
+    req = urllib.request.Request(
+        url, data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    return urllib.request.urlopen(req)
+
+
+def test_protein_search_string(server):
+    import urllib.parse
+
+    url, seqs, _ = server
+    with _post_form(
+        url + "/api/search/protein",
+        {"type": "string", "sequence": ">q1\n" + seqs[3], "max-results": "2"},
+    ) as resp:
+        body = resp.read().decode()
+    lines = body.strip().split("\n")
+    assert lines[0].startswith("QueryId\tSubjectId")
+    cols = lines[1].split("\t")
+    assert cols[0] == "q1" and cols[1] == "SP3"
+    assert cols[2] == "100.00"
+
+
+def test_protein_search_json(server):
+    import urllib.parse
+
+    url, seqs, _ = server
+    with _post_form(
+        url + "/api/search/protein",
+        {"type": "string", "sequence": ">q\n" + seqs[7],
+         "output-format": "json", "annotations": "true"},
+    ) as resp:
+        doc = json.loads(resp.read())
+    assert doc["dbProteinFeatures"] == ["ProteinName"]
+    assert doc["results"][0]["SearchResults"]["Hits"][0]["Kmatch"] == len(seqs[7]) - 6
+
+
+def test_missing_type_is_400(server):
+    import urllib.error
+
+    url, _, _ = server
+    try:
+        _post_form(url + "/api/search/protein", {"sequence": "x"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_client_file_upload(server, tmp_path, capsys):
+    url, seqs, _ = server
+    qf = tmp_path / "q.fasta"
+    qf.write_text(">query\n" + seqs[0] + "\n")
+    import io
+
+    out = io.StringIO()
+    cli_client.search_request(
+        url, str(qf), sequence_type=1, input_type="file", output=out
+    )
+    lines = out.getvalue().strip().split("\n")
+    assert lines[1].split("\t")[1] == "SP0"
+
+
+def test_client_path_mode(server, tmp_path):
+    url, seqs, _ = server
+    qf = tmp_path / "q2.fasta"
+    qf.write_text(">query\n" + seqs[1] + "\n")
+    import io
+
+    out = io.StringIO()
+    cli_client.search_request(
+        url, str(qf), sequence_type=1, input_type="path", output=out
+    )
+    assert "SP1" in out.getvalue()
