@@ -178,7 +178,10 @@ def _parse_embl_entry(pid: int, lines: List[str]):
             elif "Flags: Fragment;" in body:
                 return None  # skip protein fragments (inputEMBL.go:224-227)
         elif tag == "OX":
-            features["TaxId"] = l[5:].split()[0][12:].rstrip(";")
+            # the reference slices [12:] past "NCBI_TaxID=" (11 chars) and
+            # drops the first digit (inputEMBL.go:229) -- fixed here
+            token = l[5:].split()[0]
+            features["TaxId"] = token.split("=", 1)[-1].rstrip(";")
         elif tag == "OS":
             if "Organism" in features:
                 features["Organism"] += " " + l[5:].rstrip(".")
