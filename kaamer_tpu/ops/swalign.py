@@ -34,6 +34,35 @@ from ..search.results import AlignmentResult
 NEG_INF = np.int32(-(10**8))
 
 
+def _dp_matrices(q, r, mat, gap_open, gap_extend):
+    """Wavefront (anti-diagonal) Gotoh DP: every anti-diagonal is a fully
+    vectorized update, so the Python loop count is m+n rather than m*n.
+    Returns the filled (H, E, F) matrices."""
+    m, n = len(q), len(r)
+    H = np.zeros((m + 1, n + 1), dtype=np.int32)
+    E = np.full((m + 1, n + 1), NEG_INF, dtype=np.int32)  # gap in query (left)
+    F = np.full((m + 1, n + 1), NEG_INF, dtype=np.int32)  # gap in ref (up)
+    sub = mat[q][:, r]  # [m, n] substitution scores
+
+    for d in range(2, m + n + 1):  # cells with i+j == d, 1<=i<=m, 1<=j<=n
+        i_lo = max(1, d - n)
+        i_hi = min(m, d - 1)
+        if i_lo > i_hi:
+            continue
+        i = np.arange(i_lo, i_hi + 1)
+        j = d - i
+        e = np.maximum(H[i, j - 1] - gap_open, E[i, j - 1] - gap_extend)
+        f = np.maximum(H[i - 1, j] - gap_open, F[i - 1, j] - gap_extend)
+        h = np.maximum(
+            np.maximum(0, H[i - 1, j - 1] + sub[i - 1, j - 1]),
+            np.maximum(e, f),
+        )
+        E[i, j] = e
+        F[i, j] = f
+        H[i, j] = h
+    return H, E, F
+
+
 def _smith_waterman(
     q: np.ndarray, r: np.ndarray, mat: np.ndarray, gap_open: int, gap_extend: int
 ) -> Tuple[int, list, list]:
@@ -41,27 +70,8 @@ def _smith_waterman(
     (best_score, q_aln_ops, r_aln_ops) where ops are index lists with -1 for
     gap columns, covering the local alignment region only."""
     m, n = len(q), len(r)
-    H = np.zeros((m + 1, n + 1), dtype=np.int32)
-    E = np.full((m + 1, n + 1), NEG_INF, dtype=np.int32)  # gap in query (left)
-    F = np.full((m + 1, n + 1), NEG_INF, dtype=np.int32)  # gap in ref (up)
-
-    sub = mat[q][:, r]  # [m, n] substitution scores
-
-    for i in range(1, m + 1):
-        E[i, 1:] = NEG_INF
-        # F depends only on the previous row: vectorized across j
-        F[i, 1:] = np.maximum(H[i - 1, 1:] - gap_open, F[i - 1, 1:] - gap_extend)
-        h_prev_diag = H[i - 1, :-1]
-        # E has a row-local dependency; resolve it with a scan.
-        e_run = NEG_INF
-        row_h = H[i]
-        srow = sub[i - 1]
-        frow = F[i]
-        for j in range(1, n + 1):
-            e_run = max(row_h[j - 1] - gap_open, e_run - gap_extend)
-            E[i, j] = e_run
-            h = max(0, h_prev_diag[j - 1] + srow[j - 1], e_run, frow[j])
-            row_h[j] = h
+    H, E, F = _dp_matrices(q, r, mat, gap_open, gap_extend)
+    sub = mat[q][:, r]
 
     best = int(H.max())
     if best <= 0:
