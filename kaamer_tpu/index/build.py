@@ -42,24 +42,46 @@ def _collect_proteins(
     entries: Iterable[Tuple[int, Protein]],
     progress: bool = False,
 ):
-    """Materialize protein columns + kmer pairs from a parser stream."""
+    """Materialize protein columns + kmer pairs from a parser stream.
+
+    K-mer pair extraction and the global sort run through the native C++
+    kernels (kaamer_tpu/native) when the toolchain is available, with a
+    numpy fallback."""
+    from .. import native
+
     ids: List[int] = []
     lengths: List[int] = []
     entry_ids: List[bytes] = []
     sequences: List[bytes] = []
     features: List[bytes] = []
     pair_chunks: List[np.ndarray] = []
-    pending: List[np.ndarray] = []
-    pending_n = 0
+
+    # pending chunk of concatenated sequence bytes for batch extraction
+    chunk_seqs: List[bytes] = []
+    chunk_base = 0
+    chunk_bytes = 0
 
     count_aa = 0
     count_kmers = 0
+
+    def flush_chunk():
+        nonlocal chunk_seqs, chunk_base, chunk_bytes
+        if not chunk_seqs:
+            return
+        buf = np.frombuffer(b"".join(chunk_seqs), dtype=np.uint8)
+        offs = np.zeros(len(chunk_seqs) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in chunk_seqs], out=offs[1:])
+        pair_chunks.append(native.extract_pairs(buf, offs, chunk_base))
+        chunk_base += len(chunk_seqs)
+        chunk_seqs = []
+        chunk_bytes = 0
 
     for row, (pid, prot) in enumerate(entries):
         ids.append(pid)
         lengths.append(prot.Length)
         entry_ids.append(prot.EntryId.encode("utf-8"))
-        sequences.append(prot.Sequence.encode("utf-8"))
+        seq_b = prot.Sequence.encode("utf-8")
+        sequences.append(seq_b)
         features.append(
             json.dumps(prot.Features, separators=(",", ":")).encode("utf-8")
             if prot.Features else b""
@@ -67,24 +89,19 @@ def _collect_proteins(
         count_aa += prot.Length
         count_kmers += prot.Length - KMER_SIZE + 1
 
-        kmers = codec.encode_kmers(codec.seq_to_codes(prot.Sequence))
-        pairs = (kmers.astype(np.uint64) << np.uint64(32)) | np.uint64(row)
-        pending.append(pairs)
-        pending_n += pairs.size
-        if pending_n >= 8_000_000:
-            pair_chunks.append(np.concatenate(pending))
-            pending = []
-            pending_n = 0
+        chunk_seqs.append(seq_b)
+        chunk_bytes += len(seq_b)
+        if chunk_bytes >= 64_000_000:
+            flush_chunk()
         if progress and (row + 1) % 10000 == 0:
             print(f"Processed {row + 1} proteins")
 
-    if pending:
-        pair_chunks.append(np.concatenate(pending))
+    flush_chunk()
 
     all_pairs = (
         np.concatenate(pair_chunks) if pair_chunks else np.empty(0, dtype=np.uint64)
     )
-    all_pairs.sort(kind="stable")
+    all_pairs = native.sort_u64(all_pairs)
 
     stats = KStats(
         NumberOfProteins=len(ids),
