@@ -8,8 +8,11 @@ plus vectorized compares.  No data-dependent loops: on TPU a while-loop probe
 pays per-iteration launch overhead and worst-case cluster depth; the bucketed
 layout makes the probe shape static and load-independent.
 
-The table is viewed on device as uint32[(2^p+2^s)*W, 2] (little-endian:
-column 0 = value, column 1 = key).
+Layout on device: one row of 16 uint32 PER BUCKET (columns 0..7 = keys,
+8..15 = values), so each probe level is a single whole-row gather of 64
+contiguous bytes per lane -- gather cost on TPU scales with the number of
+gathered rows, not bytes, so wide rows are ~8x cheaper than one row per slot.
+`bucketize_table` converts the on-disk packed-uint64 table to this layout.
 """
 
 from __future__ import annotations
@@ -22,31 +25,41 @@ from ..index.hashtable import BUCKET_W, HASH_MULT, HASH_MULT2
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
 
 
-def probe(table2, queries, primary_log2: int, secondary_log2: int, miss_value):
+def bucketize_table(table_u64: np.ndarray) -> np.ndarray:
+    """uint64[(2^p+2^s)*W] -> uint32[n_buckets, 2*W] with keys in columns
+    [0, W) and values in columns [W, 2W)."""
+    arr = np.ascontiguousarray(table_u64).view(np.uint32)
+    arr = arr.reshape(-1, BUCKET_W, 2)  # little-endian: [...,0]=val, [...,1]=key
+    out = np.empty((arr.shape[0], 2 * BUCKET_W), dtype=np.uint32)
+    out[:, :BUCKET_W] = arr[:, :, 1]
+    out[:, BUCKET_W:] = arr[:, :, 0]
+    return out
+
+
+def probe(table_b, queries, primary_log2: int, secondary_log2: int, miss_value):
     """Look up a batch of k-mer codes.
 
-    table2:   uint32[(2^p+2^s)*W, 2] device array (col 0 value, col 1 key)
+    table_b:  uint32[n_buckets, 2*W] device array (bucketize_table layout;
+              primary buckets first, then secondary)
     queries:  uint32[...] k-mer codes
     returns:  uint32[...] values; `miss_value` where absent.
     """
     shape = queries.shape
     q = queries.reshape(-1)
     m = q.shape[0]
-    w = jnp.arange(BUCKET_W, dtype=jnp.int32)[None, :]
 
     out = jnp.full((m,), miss_value, dtype=jnp.uint32)
     found = jnp.zeros((m,), dtype=jnp.bool_)
 
     levels = (
         (0, HASH_MULT, np.uint32(32 - primary_log2)),
-        ((1 << primary_log2) * BUCKET_W, HASH_MULT2, np.uint32(32 - secondary_log2)),
+        (1 << primary_log2, HASH_MULT2, np.uint32(32 - secondary_log2)),
     )
     for base, mult, shift in levels:
-        bucket = ((q * mult) >> shift).astype(jnp.int32)
-        rows = base + bucket[:, None] * BUCKET_W + w          # [m, W]
-        slots = jnp.take(table2, rows.reshape(-1), axis=0).reshape(m, BUCKET_W, 2)
-        keys = slots[:, :, 1]
-        vals = slots[:, :, 0]
+        bucket = (base + ((q * mult) >> shift)).astype(jnp.int32)
+        rows = jnp.take(table_b, bucket, axis=0)              # [m, 2W]
+        keys = rows[:, :BUCKET_W]
+        vals = rows[:, BUCKET_W:]
         hit = keys == q[:, None]                              # at most one slot
         anyhit = hit.any(axis=1)
         val = jnp.where(hit, vals, 0).sum(axis=1).astype(jnp.uint32)

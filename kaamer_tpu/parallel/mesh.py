@@ -41,8 +41,9 @@ def _next_pow2(n: int) -> int:
 class ShardedIndexArrays:
     """Host-side per-shard index arrays, padded to uniform shapes.
 
-    tables:      uint32[n_shards, H, 2]
-    set_starts:  int32[n_shards, S_max + 2]  (sentinel empty set appended)
+    tables:      uint32[n_shards, n_buckets, 2*W]  (probe.bucketize_table)
+    set_starts:  int32[n_shards, S_max + 1, 2]     ((start, len) per set;
+                 the sentinel empty set is row S_max)
     postings:    uint32[n_shards, P_max]
     """
 
@@ -55,7 +56,7 @@ class ShardedIndexArrays:
 
     @property
     def n_sets_padded(self) -> int:
-        return self.set_starts.shape[1] - 2
+        return self.set_starts.shape[1] - 1
 
 
 def shard_owner(kmers: np.ndarray, n_shards: int) -> np.ndarray:
@@ -143,13 +144,18 @@ def shard_index_arrays(
     S_max = max(st.size - 1 for st in shard_starts)
     P_max = max(1, _next_pow2(max(p.size for p in shard_posts)))
 
-    tables = np.stack(shard_tables).view(np.uint32).reshape(n_shards, -1, 2)
-    starts_pad = np.zeros((n_shards, S_max + 2), dtype=np.int32)
+    from ..ops.probe import bucketize_table
+
+    tables = np.stack([bucketize_table(t) for t in shard_tables])
+    # (start, len) per set row, padded sets empty (len 0)
+    starts_pad = np.zeros((n_shards, S_max + 1, 2), dtype=np.int32)
     posts_pad = np.zeros((n_shards, P_max), dtype=np.uint32)
     for s in range(n_shards):
-        st = shard_starts[s]
-        starts_pad[s, : st.size] = st.astype(np.int32)
-        starts_pad[s, st.size :] = np.int32(st[-1])  # padded sets are empty
+        st = shard_starts[s].astype(np.int32)
+        n_local = st.size - 1
+        starts_pad[s, :n_local, 0] = st[:-1]
+        starts_pad[s, :n_local, 1] = st[1:] - st[:-1]
+        starts_pad[s, n_local:, 0] = st[-1]
         posts_pad[s, : shard_posts[s].size] = shard_posts[s]
 
     return ShardedIndexArrays(
@@ -187,23 +193,25 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
 
     n_shards = mesh.shape["shard"]
 
-    def local_step(table2, set_starts, postings, codes, n_kmers):
+    def local_step(table_b, set_starts, postings, codes, n_kmers):
         # shapes inside shard_map (per device):
-        # table2 [1, H, 2]; set_starts [1, S+2]; postings [1, P];
+        # table_b [1, nb, 2W]; set_starts [1, S+1, 2]; postings [1, P];
         # codes [B_dp, L+6] (replicated over "shard"); n_kmers [B_dp]
-        table2 = table2[0]
+        table_b = table_b[0]
         set_starts = set_starts[0]
         postings = postings[0]
 
+        B = codes.shape[0]
         L = codes.shape[1] - (KMER_SIZE - 1)
         kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes)
-        ids = probe(table2, kmers, primary_log2, secondary_log2,
+        ids = probe(table_b, kmers, primary_log2, secondary_log2,
                     miss_value=np.uint32(n_sets_padded))
         lane = jnp.arange(L, dtype=jnp.int32)[None, :]
         ids = jnp.where(lane < n_kmers[:, None], ids, jnp.uint32(n_sets_padded))
         ids_i = ids.astype(jnp.int32)
-        offs = jnp.take(set_starts, ids_i)
-        lens = jnp.take(set_starts, ids_i + 1) - offs
+        sl = jnp.take(set_starts, ids_i.reshape(-1), axis=0).reshape(B, L, 2)
+        offs = sl[:, :, 0]
+        lens = sl[:, :, 1]
         cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
         total = cum[:, -1]
 
@@ -222,7 +230,7 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
         mesh=mesh,
         in_specs=(
             P("shard", None, None),   # tables
-            P("shard", None),         # set_starts
+            P("shard", None, None),   # set_starts
             P("shard", None),         # postings
             P("dp", None),            # codes (replicated over shard)
             P("dp",),                 # n_kmers

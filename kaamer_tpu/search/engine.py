@@ -99,15 +99,19 @@ class SearchEngine:
         self._jax = jax
         self.art = art
 
-        table = np.ascontiguousarray(np.asarray(art.hash_table))
-        # little-endian view: column 0 = value (low 32), column 1 = key (high)
-        self.table2 = jnp.asarray(table.view(np.uint32).reshape(-1, 2))
+        from ..ops.probe import bucketize_table
+
+        self.table2 = jnp.asarray(bucketize_table(np.asarray(art.hash_table)))
         so = np.asarray(art.set_offsets)
         if so.size and int(so[-1]) >= 2**31:
             raise ValueError("postings larger than 2^31 need a sharded index")
         # +sentinel "empty set" row used for probe misses and padding lanes
         self.set_starts_np = np.concatenate([so, so[-1:]]).astype(np.int32)
-        self.set_starts = jnp.asarray(self.set_starts_np)
+        # (start, len) per set so offsets resolve in ONE row-gather
+        starts2 = np.empty((self.set_starts_np.size - 1, 2), dtype=np.int32)
+        starts2[:, 0] = self.set_starts_np[:-1]
+        starts2[:, 1] = self.set_starts_np[1:] - self.set_starts_np[:-1]
+        self.set_starts = jnp.asarray(starts2)
         self.postings_np = np.asarray(art.postings)
         self.postings = jnp.asarray(self.postings_np)
         self.n_sets = int(so.size - 1)
@@ -136,11 +140,18 @@ class SearchEngine:
 
         seqs: query sequences; sizes: SizeInKmer per query (kmers [0, size)
         are searched, which already excludes a trailing '*')."""
+        return self.resolve_batch(self.dispatch_batch(seqs, sizes, k))
+
+    def dispatch_batch(self, seqs: Sequence[str], sizes: Sequence[int], k: int):
+        """Asynchronously dispatch one batch to the device; returns a handle
+        for resolve_batch.  JAX dispatch is async, so several batches can be
+        in flight, overlapping upload/compute/fetch across batches (the
+        analogue of the reference's pipelined worker pools)."""
         import jax.numpy as jnp
 
         B = len(seqs)
         if B == 0:
-            return []
+            return None
         L = _next_pow2(max(max(sizes), 8))
         codes = np.full((B, L + KMER_SIZE - 1), -1, dtype=np.int8)
         for i, s in enumerate(seqs):
@@ -153,11 +164,20 @@ class SearchEngine:
 
         cap = self._cap_hint
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
+        outs = self._fused(
+            self.table2, self.set_starts, self.postings,
+            codes_dev, n_dev, cap=cap, k=k_eff,
+        )
+        return (outs, codes_dev, n_dev, list(sizes), k, cap, k_eff)
+
+    def resolve_batch(self, handle) -> List[QueryCounts]:
+        """Block on a dispatched batch and finalize per-query results,
+        re-running at a larger expansion capacity if the batch overflowed."""
+        if handle is None:
+            return []
+        (outs, codes_dev, n_dev, sizes, k, cap, k_eff) = handle
         while True:
-            counts, hit_rows, totals, ids = self._fused(
-                self.table2, self.set_starts, self.postings,
-                codes_dev, n_dev, cap=cap, k=k_eff,
-            )
+            counts, hit_rows, totals, ids = outs
             counts_h, hits_h, totals_h = self._jax.device_get(
                 (counts, hit_rows, totals)
             )
@@ -166,6 +186,10 @@ class SearchEngine:
                 break
             cap = min(_next_pow2(max_total), CAP_MAX)
             k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
+            outs = self._fused(
+                self.table2, self.set_starts, self.postings,
+                codes_dev, n_dev, cap=cap, k=k_eff,
+            )
         # adapt the starting bucket toward observed volume
         self._cap_hint = max(CAP_MIN, min(_next_pow2(max(max_total, 1)), CAP_MAX))
 
@@ -173,7 +197,7 @@ class SearchEngine:
 
         batch_ids = _BatchIds(ids)
         out: List[QueryCounts] = []
-        for i in range(B):
+        for i in range(len(sizes)):
             if overflow[i]:
                 qc = self._count_host_row(batch_ids, i, sizes[i], k_eff)
             else:
@@ -247,6 +271,7 @@ def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, primary_log2, se
 
     from ..ops.probe import probe
 
+    B = codes.shape[0]
     L = codes.shape[1] - (KMER_SIZE - 1)
     codes = codes.astype(jnp.int32)
     kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes)
@@ -254,8 +279,10 @@ def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, primary_log2, se
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
     ids = jnp.where(lane < n_kmers[:, None], ids, jnp.uint32(n_sets))
     ids_i = ids.astype(jnp.int32)
-    offs = jnp.take(set_starts, ids_i)
-    lens = jnp.take(set_starts, ids_i + 1) - offs
+    # set_starts is [n_sets+1, 2] (start, len): one row-gather resolves both
+    sl = jnp.take(set_starts, ids_i.reshape(-1), axis=0).reshape(B, L, 2)
+    offs = sl[:, :, 0]
+    lens = sl[:, :, 1]
     cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
     return ids, offs, lens, cum
 

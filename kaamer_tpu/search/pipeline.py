@@ -101,6 +101,25 @@ def _batched(queries: Iterator[QueryRecord]) -> Iterator[List[QueryRecord]]:
             yield lst
 
 
+def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 2):
+    """Keep `depth` batches in flight on the device while finalizing earlier
+    ones on the host (overlaps upload/compute/fetch)."""
+    from collections import deque
+
+    pending = deque()
+    for batch in batches:
+        handle = engine.dispatch_batch(
+            [q.Sequence for q in batch], [q.SizeInKmer for q in batch], k=k
+        )
+        pending.append((batch, handle))
+        if len(pending) >= depth:
+            b, h = pending.popleft()
+            yield b, engine.resolve_batch(h)
+    while pending:
+        b, h = pending.popleft()
+        yield b, engine.resolve_batch(h)
+
+
 def protein_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryResult]:
     def queries():
         for q in read_fasta_queries(opts.File, is_protein=True):
@@ -111,11 +130,8 @@ def protein_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryR
                 continue
             yield q
 
-    for batch in _batched(queries()):
-        counts = engine.count_batch(
-            [q.Sequence for q in batch], [q.SizeInKmer for q in batch],
-            k=max(opts.MaxResults, 1),
-        )
+    k = max(opts.MaxResults, 1)
+    for batch, counts in _pipelined(engine, _batched(queries()), k):
         for q, qc in zip(batch, counts):
             qr = _build_result(engine, q, qc, opts,
                                need_positions=opts.ExtractPositions)
@@ -195,11 +211,8 @@ def nucleotide_search(
 
     ext_ids = np.asarray(engine.art.protein_ids)
 
-    for batch in _batched(orf_queries()):
-        counts = engine.count_batch(
-            [q.Sequence for q in batch], [q.SizeInKmer for q in batch],
-            k=max(opts.MaxResults, 1),
-        )
+    k = max(opts.MaxResults, 1)
+    for batch, counts in _pipelined(engine, _batched(orf_queries()), k):
         for q, qc in zip(batch, counts):
             if qc.counts.size == 0 or int(qc.counts[0]) < opts.MinKMatch:
                 continue  # top-hit gate (search_nucleotide.go:116)
