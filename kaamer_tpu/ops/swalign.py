@@ -134,6 +134,58 @@ def align(
     _, q_ops, r_ops = _smith_waterman(
         q, r, scores.sub_matrix, scores.gap_open, scores.gap_extend
     )
+    return result_from_ops(query_seq, ref_seq, scores, q_ops, r_ops, db_stats)
+
+
+def align_batch(
+    pairs,
+    db_stats: KStats,
+    sub_matrix: str = "blosum62",
+    gap_open: int = 11,
+    gap_extend: int = 1,
+    use_device: bool = True,
+):
+    """Align many (query, ref) pairs; DP runs through the Pallas wavefront
+    kernel when a device is available and the batch warrants it, with the
+    host wavefront as fallback.  Returns a list of AlignmentResult."""
+    scores = get_matrix_scores(sub_matrix, gap_open, gap_extend)
+    pairs = [
+        (q.replace("U", "*").replace("u", "*"),
+         r.replace("U", "*").replace("u", "*"))
+        for q, r in pairs
+    ]
+
+    ops = None
+    if use_device and len(pairs) >= 4 and max(
+        max(len(q), len(r)) for q, r in pairs
+    ) <= 2048:
+        try:
+            from .swalign_pallas import align_pairs
+
+            ops = align_pairs(pairs, scores)
+        except Exception:
+            ops = None
+    if ops is None:
+        ops = []
+        for q, r in pairs:
+            qa = LETTER_INDEX[np.frombuffer(q.encode("latin-1"), np.uint8)]
+            ra = LETTER_INDEX[np.frombuffer(r.encode("latin-1"), np.uint8)]
+            ops.append(_smith_waterman(qa, ra, scores.sub_matrix,
+                                       scores.gap_open, scores.gap_extend))
+
+    return [
+        result_from_ops(q, r, scores, q_ops, r_ops, db_stats)
+        for (q, r), (_, q_ops, r_ops) in zip(pairs, ops)
+    ]
+
+
+def result_from_ops(
+    query_seq: str, ref_seq: str, scores: MatrixScores,
+    q_ops, r_ops, db_stats: KStats,
+) -> AlignmentResult:
+    """Build the reference-formula result fields from an alignment path."""
+    q = LETTER_INDEX[np.frombuffer(query_seq.encode("latin-1"), dtype=np.uint8)]
+    r = LETTER_INDEX[np.frombuffer(ref_seq.encode("latin-1"), dtype=np.uint8)]
     if not q_ops:
         return AlignmentResult()
 

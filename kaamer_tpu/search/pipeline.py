@@ -255,18 +255,21 @@ def nucleotide_search(
 
 def _align_hits(engine: SearchEngine, qr: QueryResult, opts: SearchOptions) -> None:
     """QueryResultHandler's alignment step (search.go:483-494): align every
-    kept hit, then re-sort by bit score descending."""
+    kept hit (batched through the Pallas wavefront kernel when it pays off),
+    then re-sort by bit score descending."""
     from ..ops import swalign
 
-    for h in qr.Hits:
-        prot = qr.HitEntries.get(h.Key)
-        if prot is None:
-            continue
-        try:
-            h.Alignment = swalign.align(
-                qr.Query.Sequence, prot.Sequence, engine.art.stats,
-                opts.SubMatrix, opts.GapOpen, opts.GapExtend,
-            )
-        except swalign.NoMatrixError:
-            continue
+    hits = [h for h in qr.Hits if h.Key in qr.HitEntries]
+    if not hits:
+        return
+    pairs = [(qr.Query.Sequence, qr.HitEntries[h.Key].Sequence) for h in hits]
+    try:
+        results = swalign.align_batch(
+            pairs, engine.art.stats,
+            opts.SubMatrix, opts.GapOpen, opts.GapExtend,
+        )
+    except swalign.NoMatrixError:
+        return
+    for h, res in zip(hits, results):
+        h.Alignment = res
     qr.Hits.sort(key=lambda h: -h.Alignment.BitScore)
