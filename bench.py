@@ -104,8 +104,8 @@ def main() -> None:
         bsizes = sizes[i : i + BATCH]
         handles.append(engine.dispatch_batch(batch, bsizes, k=10))
         total_kmers += sum(bsizes)
-        if len(handles) >= 2:  # keep 2 batches in flight
-            engine.resolve_batch(handles.pop(0))
+        if len(handles) >= 4:  # keep several batches in flight to hide the
+            engine.resolve_batch(handles.pop(0))  # tunnel round-trip latency
     for h in handles:
         engine.resolve_batch(h)
     dt = time.perf_counter() - t0

@@ -40,10 +40,38 @@ for _i, _c in enumerate(AA_ALPHABET):
     CHAR_TO_CODE[ord(_c)] = _i
 
 
+CHAR_TO_CODE_I8 = CHAR_TO_CODE.astype(np.int8)
+
+
 def seq_to_codes(seq: str) -> np.ndarray:
     """Residue indices (int32, -1 for unknown chars) for an ASCII sequence."""
     raw = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
     return CHAR_TO_CODE[raw]
+
+
+def pad_codes_batch(seqs, width: int) -> np.ndarray:
+    """Residue-code matrix int8[B, width] for a batch of sequences, padded
+    with -1.  One joined buffer + LUT + flat scatter instead of a Python
+    per-string loop (the loop costs ~10ms/1k queries; this is <1ms)."""
+    B = len(seqs)
+    out = np.full((B, width), -1, dtype=np.int8)
+    if B == 0:
+        return out
+    clipped = [s[:width] for s in seqs]
+    buf = "".join(clipped).encode("latin-1")
+    lens = np.fromiter((len(s) for s in clipped), count=B, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return out
+    codes = CHAR_TO_CODE_I8[raw]
+    starts = np.cumsum(lens) - lens
+    flat_dst = (
+        np.arange(raw.size, dtype=np.int64)
+        - np.repeat(starts, lens)
+        + np.repeat(np.arange(B, dtype=np.int64) * width, lens)
+    )
+    out.reshape(-1)[flat_dst] = codes
+    return out
 
 
 def _pair_code(a: np.ndarray, b: np.ndarray) -> np.ndarray:

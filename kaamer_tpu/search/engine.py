@@ -153,10 +153,7 @@ class SearchEngine:
         if B == 0:
             return None
         L = _next_pow2(max(max(sizes), 8))
-        codes = np.full((B, L + KMER_SIZE - 1), -1, dtype=np.int8)
-        for i, s in enumerate(seqs):
-            c = codec.seq_to_codes(s)[: L + KMER_SIZE - 1]
-            codes[i, : c.shape[0]] = c
+        codes = codec.pad_codes_batch(seqs, L + KMER_SIZE - 1)
         n_kmers = np.asarray(sizes, dtype=np.int32)
 
         codes_dev = jnp.asarray(codes)
@@ -194,6 +191,8 @@ class SearchEngine:
         self._cap_hint = max(CAP_MIN, min(_next_pow2(max(max_total, 1)), CAP_MAX))
 
         overflow = totals_h > CAP_MAX
+        # top_k counts are descending, so nonzero entries form a prefix
+        nnz = (counts_h > 0).sum(axis=1)
 
         batch_ids = _BatchIds(ids)
         out: List[QueryCounts] = []
@@ -201,11 +200,10 @@ class SearchEngine:
             if overflow[i]:
                 qc = self._count_host_row(batch_ids, i, sizes[i], k_eff)
             else:
-                c = counts_h[i]
-                nz = c > 0
+                m = int(nnz[i])
                 qc = QueryCounts(
-                    hit_rows=hits_h[i][nz],
-                    counts=c[nz],
+                    hit_rows=hits_h[i][:m],
+                    counts=counts_h[i][:m],
                     _engine=self,
                     _batch=batch_ids,
                     _row=i,
