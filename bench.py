@@ -27,8 +27,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DB_PROTEINS = 10_000
-N_QUERIES = 4_096
-BATCH = 1024
+N_QUERIES = 16_384
+BATCH = 2048
 SEQ_LEN_RANGE = (120, 400)
 QUERY_LEN = 250  # uniform bucket so every batch hits one compiled shape
 GO_BASELINE_QPS = 2_000.0
@@ -114,7 +114,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "protein queries/s (1k queries vs 10k-protein DB, 1 chip)",
+                "metric": f"protein queries/s ({N_QUERIES} queries vs {DB_PROTEINS}-protein DB, 1 chip)",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / GO_BASELINE_QPS, 2),
