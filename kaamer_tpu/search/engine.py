@@ -32,7 +32,10 @@ from ..index.artifact import DBArtifact
 KMER_SIZE = 7
 CAP_MAX = 1 << 21
 CAP_MIN = 1 << 10
-TOPK_MIN = 32
+# MinKMatch/MinKRatio are monotone in Kmatch and hits are ranked by Kmatch
+# desc, so FilterResults keeps a PREFIX of the ranked list; top-k with
+# k >= MaxResults is therefore exact.  16 leaves slack for small MaxResults.
+TOPK_MIN = 16
 
 
 def _next_pow2(n: int) -> int:
@@ -126,7 +129,7 @@ class SearchEngine:
                 primary_log2=self.primary_log2,
                 secondary_log2=self.secondary_log2,
             ),
-            static_argnames=("cap", "k"),
+            static_argnames=("cap", "k", "width"),
         )
 
     # ------------------------------------------------------------------
@@ -156,23 +159,25 @@ class SearchEngine:
         codes = codec.pad_codes_batch(seqs, L + KMER_SIZE - 1)
         n_kmers = np.asarray(sizes, dtype=np.int32)
 
-        codes_dev = jnp.asarray(codes)
+        # the host->device link is the throughput bottleneck: ship 3 residues
+        # per uint16 and unpack on device (codec.pack_codes3)
+        codes_dev = jnp.asarray(codec.pack_codes3(codes))
         n_dev = jnp.asarray(n_kmers)
 
         cap = self._cap_hint
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
         outs = self._fused(
             self.table2, self.set_starts, self.postings,
-            codes_dev, n_dev, cap=cap, k=k_eff,
+            codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
         )
-        return (outs, codes_dev, n_dev, list(sizes), k, cap, k_eff)
+        return (outs, codes_dev, n_dev, list(sizes), k, cap, k_eff, L)
 
     def resolve_batch(self, handle) -> List[QueryCounts]:
         """Block on a dispatched batch and finalize per-query results,
         re-running at a larger expansion capacity if the batch overflowed."""
         if handle is None:
             return []
-        (outs, codes_dev, n_dev, sizes, k, cap, k_eff) = handle
+        (outs, codes_dev, n_dev, sizes, k, cap, k_eff, L) = handle
         while True:
             counts, hit_rows, totals, ids = outs
             counts_h, hits_h, totals_h = self._jax.device_get(
@@ -185,7 +190,7 @@ class SearchEngine:
             k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
             outs = self._fused(
                 self.table2, self.set_starts, self.postings,
-                codes_dev, n_dev, cap=cap, k=k_eff,
+                codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
             )
         # adapt the starting bucket toward observed volume
         self._cap_hint = max(CAP_MIN, min(_next_pow2(max(max_total, 1)), CAP_MAX))
@@ -263,12 +268,17 @@ class SearchEngine:
 # ---------------------------------------------------------------------------
 
 
-def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, primary_log2, secondary_log2):
+def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, primary_log2,
+                 secondary_log2, width: int = 0):
+    """codes: int8/int32[B, L+6] residue codes, or (width>0) the packed
+    uint16 wire format from codec.pack_codes3 with width == L+6."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.probe import probe
 
+    if width:
+        codes = codec.unpack_codes3_jnp(codes, width)
     B = codes.shape[0]
     L = codes.shape[1] - (KMER_SIZE - 1)
     codes = codes.astype(jnp.int32)
@@ -295,8 +305,8 @@ def _phase2_impl(postings, offs, cum, *, cap: int, k: int):
 
 
 def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
-                n_sets, primary_log2, secondary_log2, cap, k):
-    """Single-dispatch search step: probe + expand + count + rank.
+                n_sets, primary_log2, secondary_log2, cap, k, width=0):
+    """Single-dispatch search step: unpack + probe + expand + count + rank.
 
     Returns (counts int32[B,k], hit_rows uint32[B,k], totals int32[B],
     ids uint32[B,L]); ids are returned for lazy host-side position lookups.
@@ -304,6 +314,7 @@ def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
     ids, offs, _, cum = _phase1_impl(
         table2, set_starts, codes, n_kmers,
         n_sets=n_sets, primary_log2=primary_log2, secondary_log2=secondary_log2,
+        width=width,
     )
     counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
     return counts, hit_rows, cum[:, -1], ids
