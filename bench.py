@@ -96,6 +96,9 @@ def main() -> None:
     # warmup / compile
     engine.count_batch(queries[:BATCH], sizes[:BATCH], k=10)
 
+    # dispatch every batch before resolving any: all uploads/executions/
+    # downloads pipeline on the device stream, hiding tunnel round trips
+    # (measured ~10% over a depth-4 sliding window)
     t0 = time.perf_counter()
     total_kmers = 0
     handles = []
@@ -104,8 +107,6 @@ def main() -> None:
         bsizes = sizes[i : i + BATCH]
         handles.append(engine.dispatch_batch(batch, bsizes, k=10))
         total_kmers += sum(bsizes)
-        if len(handles) >= 4:  # keep several batches in flight to hide the
-            engine.resolve_batch(handles.pop(0))  # tunnel round-trip latency
     for h in handles:
         engine.resolve_batch(h)
     dt = time.perf_counter() - t0
