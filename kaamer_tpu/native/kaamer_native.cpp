@@ -199,4 +199,186 @@ int64_t kt_parse_fasta(const uint8_t* input, int64_t input_len,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Six-frame ORF extraction over a batch of DNA sequences.
+//
+// Exact port of the per-codon scan in kaamer_tpu/search/orf.py (itself a
+// replica of reference pkg/search/dna.go:65-181): an ORF starts at the frame
+// start or at a start codon following a stop, ends at a stop codon
+// (included as '*') or the frame end; minimum 21 amino acids; unknown codons
+// translate to nothing but advance the in-ORF codon counter; per-sequence
+// ORFs are ordered by EndPosition (plus strand) / StartPosition (minus).
+//
+// Tables are the 65-entry codon arrays from gcode.translation_arrays
+// (index b0*16+b1*4+b2 with t=0,c=1,a=2,g=3; 64 = unknown).
+//
+// Outputs are flat: ORF aa bytes in seq_buf with seq_off, per-ORF int32 meta
+// rows (read_idx, StartPosition, EndPosition, PlusStrand), and concatenated
+// StartsAlternative lists with alts_off.  Returns the ORF count, or -1 if
+// any capacity (seq_cap, alts_cap, max_orfs) would be exceeded.
+// ---------------------------------------------------------------------------
+
+int64_t kt_get_orfs(const uint8_t* dna_buf, const int64_t* dna_off,
+                    int64_t n_seqs, const uint8_t* aa_tab,
+                    const uint8_t* start_tab, const uint8_t* stop_tab,
+                    uint8_t* seq_buf, int64_t seq_cap, int64_t* seq_off,
+                    int32_t* meta, int32_t* alts_buf, int64_t alts_cap,
+                    int64_t* alts_off, int64_t max_orfs) {
+    int8_t base_code[256];
+    uint8_t comp[256];
+    for (int i = 0; i < 256; i++) { base_code[i] = -1; comp[i] = (uint8_t)i; }
+    const char* bases = "tcag";
+    for (int i = 0; i < 4; i++) {
+        base_code[(uint8_t)bases[i]] = (int8_t)i;
+        base_code[(uint8_t)(bases[i] - 32)] = (int8_t)i;  // uppercase
+    }
+    comp['a'] = 't'; comp['t'] = 'a'; comp['g'] = 'c'; comp['c'] = 'g';
+
+    int64_t n_orfs = 0, sp = 0, ap = 0;
+    seq_off[0] = 0;
+    alts_off[0] = 0;
+    std::vector<uint8_t> rc;      // reverse complement scratch
+    std::vector<int64_t> order;   // per-read ORF sort scratch
+
+    for (int64_t r = 0; r < n_seqs; r++) {
+        const uint8_t* dna = dna_buf + dna_off[r];
+        int64_t n = dna_off[r + 1] - dna_off[r];
+        rc.resize(n);
+        for (int64_t i = 0; i < n; i++) {
+            uint8_t b = dna[n - 1 - i];
+            if (b >= 'A' && b <= 'Z') b += 32;  // lower-case first (dna.go:55)
+            rc[i] = comp[b];
+        }
+        int64_t first_orf = n_orfs;
+
+        for (int frame_pos = 0; frame_pos < 6; frame_pos++) {
+            bool plus = frame_pos <= 2;
+            int start_off = frame_pos % 3;
+            const uint8_t* f = plus ? dna : rc.data();
+            int64_t C = (n - start_off) / 3;
+            if (n - start_off < 0) C = 0;
+
+            // loop state (mirrors orf.py:91-129)
+            bool inside = true;
+            int64_t cds_begin_sp = sp;       // seq_buf write start of this ORF
+            int64_t alts_begin_ap = ap;
+            int64_t start_position =
+                plus ? frame_pos + 1 : n - start_off;
+            int64_t current_aa_pos = 0, current_i = 0;
+
+            for (int64_t ci = 0; ci < C; ci++) {
+                int64_t i = ci * 3;
+                current_i = i;
+                const uint8_t* cp = f + start_off + i;
+                int b0 = base_code[cp[0]], b1 = base_code[cp[1]],
+                    b2 = base_code[cp[2]];
+                int idx = (b0 < 0 || b1 < 0 || b2 < 0)
+                              ? 64 : b0 * 16 + b1 * 4 + b2;
+                uint8_t aa = aa_tab[idx];
+                bool is_start = start_tab[idx], is_stop = stop_tab[idx];
+
+                if (is_start) {
+                    if (!inside) {
+                        inside = true;
+                        current_aa_pos = 0;
+                        start_position = plus ? frame_pos + i + 1
+                                              : n - (frame_pos + i) + 3;
+                    }
+                    if (ap >= alts_cap) return -1;
+                    alts_buf[ap++] = (int32_t)current_aa_pos;
+                }
+                if (inside && aa) {
+                    if (sp >= seq_cap) return -1;
+                    seq_buf[sp++] = aa;
+                }
+                if (is_stop) {
+                    int64_t aa_count = sp - cds_begin_sp;
+                    if (inside && aa_count >= 21) {
+                        if (n_orfs >= max_orfs) return -1;
+                        int64_t end_position =
+                            plus ? i + 3 + frame_pos
+                                 : start_position - aa_count * 3 + 1;
+                        meta[n_orfs * 4 + 0] = (int32_t)r;
+                        meta[n_orfs * 4 + 1] = (int32_t)start_position;
+                        meta[n_orfs * 4 + 2] = (int32_t)end_position;
+                        meta[n_orfs * 4 + 3] = plus ? 1 : 0;
+                        seq_off[n_orfs + 1] = sp;
+                        alts_off[n_orfs + 1] = ap;
+                        n_orfs++;
+                    } else {
+                        sp = cds_begin_sp;   // discard buffered aas/alts
+                        ap = alts_begin_ap;
+                    }
+                    cds_begin_sp = sp;
+                    alts_begin_ap = ap;
+                    inside = false;
+                }
+                current_aa_pos++;
+            }
+            int64_t aa_count = sp - cds_begin_sp;
+            if (inside && aa_count >= 21) {
+                if (n_orfs >= max_orfs) return -1;
+                int64_t end_position =
+                    plus ? current_i + 3 + frame_pos
+                         : start_position - aa_count * 3 + 1;
+                meta[n_orfs * 4 + 0] = (int32_t)r;
+                meta[n_orfs * 4 + 1] = (int32_t)start_position;
+                meta[n_orfs * 4 + 2] = (int32_t)end_position;
+                meta[n_orfs * 4 + 3] = plus ? 1 : 0;
+                seq_off[n_orfs + 1] = sp;
+                alts_off[n_orfs + 1] = ap;
+                n_orfs++;
+            } else {
+                sp = cds_begin_sp;
+                ap = alts_begin_ap;
+            }
+        }
+
+        // order this read's ORFs by EndPosition (plus) / StartPosition
+        // (minus), stable (dna.go:167-178; orf.py:138-139).  The flat
+        // buffers are permuted via scratch copies (counts are small).
+        int64_t cnt = n_orfs - first_orf;
+        if (cnt > 1) {
+            order.resize(cnt);
+            for (int64_t k = 0; k < cnt; k++) order[k] = first_orf + k;
+            std::stable_sort(order.begin(), order.end(),
+                [&](int64_t a, int64_t b) {
+                    int32_t ka = meta[a * 4 + 3] ? meta[a * 4 + 2]
+                                                 : meta[a * 4 + 1];
+                    int32_t kb = meta[b * 4 + 3] ? meta[b * 4 + 2]
+                                                 : meta[b * 4 + 1];
+                    return ka < kb;
+                });
+            std::vector<int32_t> m2(cnt * 4);
+            std::vector<uint8_t> s2(sp - seq_off[first_orf]);
+            std::vector<int32_t> a2(ap - alts_off[first_orf]);
+            std::vector<int64_t> so2(cnt + 1), ao2(cnt + 1);
+            int64_t s_base = seq_off[first_orf], a_base = alts_off[first_orf];
+            int64_t s_w = 0, a_w = 0;
+            for (int64_t k = 0; k < cnt; k++) {
+                int64_t src = order[k];
+                std::memcpy(&m2[k * 4], &meta[src * 4], 4 * sizeof(int32_t));
+                so2[k] = s_w; ao2[k] = a_w;
+                int64_t sl = seq_off[src + 1] - seq_off[src];
+                std::memcpy(&s2[s_w], seq_buf + seq_off[src], sl);
+                s_w += sl;
+                int64_t al = alts_off[src + 1] - alts_off[src];
+                std::memcpy(&a2[a_w], alts_buf + alts_off[src],
+                            al * sizeof(int32_t));
+                a_w += al;
+            }
+            so2[cnt] = s_w; ao2[cnt] = a_w;
+            std::memcpy(&meta[first_orf * 4], m2.data(),
+                        cnt * 4 * sizeof(int32_t));
+            std::memcpy(seq_buf + s_base, s2.data(), s_w);
+            std::memcpy(alts_buf + a_base, a2.data(), a_w * sizeof(int32_t));
+            for (int64_t k = 0; k <= cnt; k++) {
+                seq_off[first_orf + k] = s_base + so2[k];
+                alts_off[first_orf + k] = a_base + ao2[k];
+            }
+        }
+    }
+    return n_orfs;
+}
+
 }  // extern "C"

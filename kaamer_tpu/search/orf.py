@@ -70,7 +70,49 @@ class ORF:
 
 
 def get_orfs(dna: str, gcode_id: int = 11) -> List[ORF]:
-    """All >=21aa ORFs over six frames with reference coordinates."""
+    """All >=21aa ORFs over six frames with reference coordinates.
+
+    Uses the native batched scanner when available; the Python scan below is
+    the semantic specification (and fallback)."""
+    batch = get_orfs_batch([dna], gcode_id)
+    return batch[0] if batch is not None else _get_orfs_py(dna, gcode_id)
+
+
+def get_orfs_batch(seqs: List[str], gcode_id: int = 11):
+    """Native six-frame ORF scan for a batch of sequences; returns a list of
+    ORF lists (one per input), or None when the native library is missing.
+    Identical output to _get_orfs_py (enforced by tests/test_orf.py)."""
+    from .. import native
+
+    if not native.available():
+        return None
+    arrays = translation_arrays(gcode_id)
+    buf = "".join(seqs).encode("latin-1")
+    dna_buf = np.frombuffer(buf, dtype=np.uint8)
+    lens = np.fromiter((len(s) for s in seqs), count=len(seqs), dtype=np.int64)
+    dna_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=dna_off[1:])
+    out = native.get_orfs_raw(dna_buf, dna_off, arrays.aa, arrays.start,
+                              arrays.stop)
+    if out is None:
+        return None
+    seq_buf, seq_off, meta, alts_buf, alts_off = out
+    result: List[List[ORF]] = [[] for _ in seqs]
+    for k in range(meta.shape[0]):
+        r, sp, ep, plus = (int(meta[k, 0]), int(meta[k, 1]),
+                           int(meta[k, 2]), bool(meta[k, 3]))
+        seq = bytes(seq_buf[seq_off[k]:seq_off[k + 1]]).decode("latin-1")
+        alts = alts_buf[alts_off[k]:alts_off[k + 1]].tolist()
+        result[r].append(ORF(
+            Sequence=seq,
+            Location=Location(StartPosition=sp, EndPosition=ep,
+                              PlusStrand=plus, StartsAlternative=alts),
+        ))
+    return result
+
+
+def _get_orfs_py(dna: str, gcode_id: int = 11) -> List[ORF]:
+    """Pure-Python reference scan (dna.go:65-181)."""
     dna = dna.lower()
     arrays = translation_arrays(gcode_id)
     n = len(dna)

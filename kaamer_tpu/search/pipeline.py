@@ -187,9 +187,34 @@ def nucleotide_search(
     else:
         records = read_fasta_queries(opts.File, is_protein=False)
 
-    def orf_queries():
+    def record_orfs():
+        """(record, orfs) pairs; records are ORF-scanned in chunks so the
+        native batch scanner amortizes its call overhead."""
+        from .orf import get_orfs_batch
+
+        CHUNK = 512
+        pending = []
         for rec in records:
-            for orf in get_orfs(rec.Sequence, opts.GeneticCode):
+            pending.append(rec)
+            if len(pending) >= CHUNK:
+                batch = get_orfs_batch([r.Sequence for r in pending],
+                                       opts.GeneticCode)
+                if batch is None:
+                    batch = [get_orfs(r.Sequence, opts.GeneticCode)
+                             for r in pending]
+                yield from zip(pending, batch)
+                pending = []
+        if pending:
+            batch = get_orfs_batch([r.Sequence for r in pending],
+                                   opts.GeneticCode)
+            if batch is None:
+                batch = [get_orfs(r.Sequence, opts.GeneticCode)
+                         for r in pending]
+            yield from zip(pending, batch)
+
+    def orf_queries():
+        for rec, orfs in record_orfs():
+            for orf in orfs:
                 n = len(orf.Sequence) - KMER_SIZE + 1
                 if orf.Sequence.endswith("*"):
                     n -= 1

@@ -83,3 +83,36 @@ def test_orfs_sorted_by_position():
         for o in orfs
     ]
     assert keyed == sorted(keyed)
+
+
+def test_native_orf_scan_matches_python():
+    """The native kt_get_orfs scanner must replicate _get_orfs_py exactly
+    (sequences, coordinates, strands, StartsAlternative, ordering)."""
+    import numpy as np
+    from kaamer_tpu import native
+    from kaamer_tpu.search.orf import _get_orfs_py, get_orfs_batch
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    bases = np.array(list("acgt"))
+    seqs = []
+    for L in [0, 1, 2, 3, 62, 63, 64, 65, 150, 151, 152, 300, 1000, 5000]:
+        seqs.append("".join(rng.choice(bases, size=L)))
+    # mixed case + ambiguous bases + a known multi-ORF construct
+    seqs.append("ATGaaaNNNtttTAGatg" + "gca" * 30 + "taa")
+    seqs.append("atg" + "aaa" * 25 + "tag" + "ccc" * 10 + "atg" + "ggg" * 30)
+    for gcode in (11, 1, 4):
+        batch = get_orfs_batch(seqs, gcode)
+        assert batch is not None
+        for s, got in zip(seqs, batch):
+            want = _get_orfs_py(s, gcode)
+            assert len(got) == len(want), (gcode, s[:40])
+            for a, b in zip(got, want):
+                assert a.Sequence == b.Sequence
+                assert a.Location.StartPosition == b.Location.StartPosition
+                assert a.Location.EndPosition == b.Location.EndPosition
+                assert a.Location.PlusStrand == b.Location.PlusStrand
+                assert a.Location.StartsAlternative == b.Location.StartsAlternative
