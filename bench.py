@@ -70,6 +70,39 @@ def make_queries(art, rng) -> list:
     return queries
 
 
+# one codon per amino acid (table 11) for reverse-translating bench reads
+_AA2CODON = {
+    "A": "gct", "C": "tgt", "D": "gat", "E": "gaa", "F": "ttt", "G": "ggt",
+    "H": "cat", "I": "att", "K": "aaa", "L": "ctt", "M": "atg", "N": "aat",
+    "P": "cct", "Q": "caa", "R": "cgt", "S": "tct", "T": "act", "V": "gtt",
+    "W": "tgg", "Y": "tat",
+}
+
+
+def bench_fastq(engine, art, rng, tmpdir: str) -> float:
+    """Translated-reads throughput through the full fastq pipeline
+    (read -> 6-frame ORF scan -> batched device search -> filtering)."""
+    from kaamer_tpu.search.options import READS, SearchOptions
+    from kaamer_tpu.search.pipeline import run_search
+
+    n_reads = 8_192
+    path = os.path.join(tmpdir, "bench_reads.fq")
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            row = int(rng.integers(0, art.num_proteins))
+            seq = art.sequence(row)
+            start = int(rng.integers(0, max(len(seq) - 50, 1)))
+            frag = seq[start : start + 50]
+            dna = "taa" + "".join(_AA2CODON.get(a, "gct") for a in frag) + "taa"
+            f.write(f"@r{i}\n{dna}\n+\n{'I' * len(dna)}\n")
+    opts = SearchOptions(File=path, SequenceType=READS)
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in run_search(engine, opts))
+    dt = time.perf_counter() - t0
+    assert n_out > n_reads // 2, f"fastq bench found too few hits ({n_out})"
+    return n_reads / dt
+
+
 def main() -> None:
     try:  # persistent compile cache across bench runs
         import jax
@@ -111,6 +144,11 @@ def main() -> None:
         engine.resolve_batch(h)
     dt = time.perf_counter() - t0
 
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        fastq_rps = bench_fastq(engine, art, rng, td)
+
     qps = N_QUERIES / dt
     print(
         json.dumps(
@@ -121,6 +159,7 @@ def main() -> None:
                 "vs_baseline": round(qps / GO_BASELINE_QPS, 2),
                 "extra": {
                     "kmer_lookups_per_s": round(total_kmers / dt, 1),
+                    "fastq_reads_per_s": round(fastq_rps, 1),
                     "batch": BATCH,
                     "query_len": QUERY_LEN,
                     "db_proteins": DB_PROTEINS,

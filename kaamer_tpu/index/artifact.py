@@ -139,13 +139,13 @@ def save_db(
     indexed = hash_table is not None
     if indexed:
         np.save(os.path.join(path, "hash_table.npy"), hash_table)
-        np.save(os.path.join(path, "set_offsets.npy"), set_offsets.astype(np.uint64))
-        np.save(os.path.join(path, "postings.npy"), postings.astype(np.uint32))
+        np.save(os.path.join(path, "set_offsets.npy"), set_offsets.astype(np.uint64, copy=False))
+        np.save(os.path.join(path, "postings.npy"), postings.astype(np.uint32, copy=False))
         pairs_file = os.path.join(path, "pairs.npy")
         if os.path.exists(pairs_file):
             os.remove(pairs_file)
     else:
-        np.save(os.path.join(path, "pairs.npy"), pairs.astype(np.uint64))
+        np.save(os.path.join(path, "pairs.npy"), pairs.astype(np.uint64, copy=False))
 
     meta = {
         "format_version": FORMAT_VERSION,

