@@ -123,6 +123,9 @@ def _kernel(qlen_ref, rlen_ref, subd_ref, dirs_ref, best_ref,
     best_ref[b, 1, :] = best_d[0]
 
 
+_TB_CACHE = {}
+
+
 def _build_call(B: int, m_pad: int, d_pad: int, gap_open: int,
                 gap_extend: int, interpret: bool):
     import jax
@@ -158,6 +161,66 @@ def _build_call(B: int, m_pad: int, d_pad: int, gap_open: int,
 
 
 _CALL_CACHE = {}
+
+
+def _build_traceback(B: int, d_pad: int, W: int):
+    """Device-side traceback: a lax.scan over at most 2*d_pad steps that
+    walks the packed direction bytes for all B pairs in lockstep and emits
+    per-step (q_op, r_op, emit) streams.  Keeps the [B, d_pad, W] dirs
+    tensor on device -- only the op streams (a few hundred KB) come back,
+    instead of the multi-MB dirs download the host walk needed.
+
+    State machine identical to _traceback below (the host reference)."""
+    import jax
+    import jax.numpy as jnp
+
+    S = 2 * d_pad  # every emit moves i or j; non-emit steps only enter E/F
+
+    def traceback(dirs, best, qlens):
+        lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+        bv = jnp.where(lane <= qlens[0][:, None], best[:, 0, :], -1)
+        score = bv.max(axis=1)
+        i0 = jnp.argmax(bv, axis=1).astype(jnp.int32)  # first max: lowest i
+        d0 = jnp.take_along_axis(best[:, 1, :], i0[:, None], axis=1)[:, 0]
+        j0 = (d0 - i0).astype(jnp.int32)
+        dirs_flat = dirs.reshape(B, -1)
+
+        H, E, F = 0, 1, 2
+
+        def step(carry, _):
+            i, j, st, done = carry
+            alive = (~done) & (i > 0) & (j > 0)
+            idx = (i + j) * W + i
+            byte = jnp.take_along_axis(
+                dirs_flat, idx[:, None].astype(jnp.int32), axis=1
+            )[:, 0].astype(jnp.int32)
+            hdir = byte & 3
+            isH, isE, isF = st == H, st == E, st == F
+            stopping = isH & (hdir == 0)
+            emit = alive & ~stopping & ((isH & (hdir == 1)) | isE | isF)
+            qv = jnp.where(isE, -1, i - 1).astype(jnp.int16)
+            rv = jnp.where(isF, -1, j - 1).astype(jnp.int16)
+            dec_i = alive & ((isH & (hdir == 1)) | isF)
+            dec_j = alive & ((isH & (hdir == 1)) | isE)
+            new_st = jnp.where(
+                isH,
+                jnp.where(hdir == 2, E, jnp.where(hdir == 3, F, H)),
+                jnp.where(isE,
+                          jnp.where(byte & 4, E, H),
+                          jnp.where(byte & 8, F, H)),
+            )
+            new_done = done | stopping | (i <= 0) | (j <= 0)
+            return (
+                (jnp.where(dec_i, i - 1, i), jnp.where(dec_j, j - 1, j),
+                 jnp.where(alive, new_st, st), new_done),
+                (qv, rv, emit),
+            )
+
+        init = (i0, j0, jnp.zeros(B, jnp.int32), score <= 0)
+        _, (q_steps, r_steps, emits) = jax.lax.scan(step, init, None, length=S)
+        return score, q_steps, r_steps, emits
+
+    return jax.jit(traceback)
 
 
 def _build_full(B: int, m_pad: int, n_pad: int, d_pad: int, gap_open: int,
@@ -202,12 +265,17 @@ def sw_batch_device(
     m_max = max(2, max(len(q) for q in qs))
     n_max = max(2, max(len(r) for r in rs))
     # round the lane axis to the fp32 tile (W = m_pad+1 multiple of 128) and
-    # the diagonal axis to the 8-diagonal block size
+    # the diagonal axis to the 8-diagonal block size.  n_pad also rounds to
+    # 128 so arbitrary reference lengths reuse a handful of compiled shapes
+    # (each fresh shape costs a full remote kernel compile).
     m_pad = ((m_max + 1 + 127) // 128) * 128 - 1
-    n_pad = n_max
+    n_pad = ((n_max + 127) // 128) * 128
     d_pad = ((m_pad + n_pad + 1 + 7) // 8) * 8
 
-    B = len(qs)
+    B_real = len(qs)
+    # batch dimension buckets to powers of two (min 16): padded pairs have
+    # zero lengths and cost nothing, while the compiled-shape count stays low
+    B = max(16, 1 << int(np.ceil(np.log2(max(B_real, 1)))))
     qcodes = np.zeros((B, m_pad), dtype=np.int32)
     rcodes = np.zeros((B, n_pad), dtype=np.int32)
     qlens = np.zeros((1, B), dtype=np.int32)
@@ -230,12 +298,31 @@ def sw_batch_device(
         jnp.asarray(qlens), jnp.asarray(rlens),
         jnp.asarray(scores.sub_matrix),
     )
-    dirs = np.asarray(dirs)
-    best = np.asarray(best)
+
+    W = m_pad + 1
+    tkey = (B, d_pad, W)
+    if tkey not in _TB_CACHE:
+        _TB_CACHE[tkey] = _build_traceback(B, d_pad, W)
+    score_d, q_steps_d, r_steps_d, emits_d = _TB_CACHE[tkey](
+        dirs, best, jnp.asarray(qlens)
+    )
+    import jax
+
+    score, q_steps, r_steps, emits = jax.device_get(
+        (score_d, q_steps_d, r_steps_d, emits_d)
+    )
 
     out = []
-    for b in range(B):
-        out.append(_traceback(dirs[b], best[b], int(qlens[0, b])))
+    for b in range(B_real):
+        s = int(score[b])
+        if s <= 0:
+            out.append((0, [], []))
+            continue
+        mask = emits[:, b]
+        # steps run from the alignment end backwards; reverse for forward order
+        q_ops = q_steps[mask, b][::-1].tolist()
+        r_ops = r_steps[mask, b][::-1].tolist()
+        out.append((s, q_ops, r_ops))
     return out
 
 
