@@ -68,3 +68,34 @@ def test_jnp_encode_matches_numpy():
     dev = np.asarray(codec.encode_kmers_jnp(jnp.asarray(codes), n))
     host = codec.encode_kmers(codes)
     np.testing.assert_array_equal(dev, host)
+
+
+def test_pack_codes3_roundtrip():
+    """Wire packing (3 residues/uint16) roundtrips through the device unpack
+    for every width mod 3, including -1 padding and unknown chars."""
+    import numpy as np
+    from kaamer_tpu import codec
+
+    rng = np.random.default_rng(5)
+    for width in (1, 2, 3, 7, 62, 63, 64, 262):
+        codes = rng.integers(-1, codec.N_AA, size=(4, width)).astype(np.int8)
+        packed = codec.pack_codes3(codes)
+        assert packed.dtype == np.uint16
+        assert packed.shape == (4, -(-width // 3))
+        out = np.asarray(codec.unpack_codes3_jnp(packed, width))
+        assert out.shape == (4, width)
+        assert np.array_equal(out, codes.astype(np.int32)), width
+
+
+def test_pad_codes_batch_matches_scalar():
+    import numpy as np
+    from kaamer_tpu import codec
+
+    seqs = ["ACDEFGH", "", "MKTAYIAKQRQISFVKSHFSRQ", "XX*1aC", "Y" * 300]
+    width = 40
+    got = codec.pad_codes_batch(seqs, width)
+    for i, s in enumerate(seqs):
+        want = np.full(width, -1, dtype=np.int8)
+        c = codec.seq_to_codes(s)[:width]
+        want[: c.shape[0]] = c
+        assert np.array_equal(got[i], want), s
