@@ -152,12 +152,19 @@ class SearchEngine:
         analogue of the reference's pipelined worker pools)."""
         import jax.numpy as jnp
 
-        B = len(seqs)
-        if B == 0:
+        B_real = len(seqs)
+        if B_real == 0:
             return None
+        # batch dimension rounds to a power of two (min 16): a tail batch of
+        # arbitrary size would otherwise compile a fresh program (~30s over
+        # the tunnel).  Padding rows have n_kmers=0 and never produce hits.
+        B = _next_pow2(max(B_real, 16))
+        if B != B_real:
+            seqs = list(seqs) + [""] * (B - B_real)
         L = _next_pow2(max(max(sizes), 8))
         codes = codec.pad_codes_batch(seqs, L + KMER_SIZE - 1)
-        n_kmers = np.asarray(sizes, dtype=np.int32)
+        n_kmers = np.zeros(B, dtype=np.int32)
+        n_kmers[:B_real] = sizes
 
         # the host->device link is the throughput bottleneck: ship 3 residues
         # per uint16 and unpack on device (codec.pack_codes3)

@@ -39,7 +39,11 @@ from .orf import get_orfs, set_best_start_codon
 from .results import AlignmentResult, Hit, QueryResult
 
 KMER_SIZE = 7
-BATCH_MAX = 64
+# Queries per device dispatch.  Each dispatch pays a tunnel round trip
+# (~30ms) regardless of size while device compute is ~0.1ms, so large
+# batches are essentially free throughput; 1024 keeps time-to-first-row
+# short enough for streaming responses.
+BATCH_MAX = 1024
 
 
 def run_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[bytes]:
@@ -101,7 +105,7 @@ def _batched(queries: Iterator[QueryRecord]) -> Iterator[List[QueryRecord]]:
             yield lst
 
 
-def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 2):
+def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4):
     """Keep `depth` batches in flight on the device while finalizing earlier
     ones on the host (overlaps upload/compute/fetch)."""
     from collections import deque
