@@ -95,10 +95,12 @@ def bench_fastq(engine, art, rng, tmpdir: str) -> float:
             frag = seq[start : start + 50]
             dna = "taa" + "".join(_AA2CODON.get(a, "gct") for a in frag) + "taa"
             f.write(f"@r{i}\n{dna}\n+\n{'I' * len(dna)}\n")
-    # warm the ORF-length shape buckets (compiles happen here, not in timing)
+    # warm the ORF-length shape buckets (compiles happen here, not in
+    # timing); 3072 reads fill the full BATCH_MAX ORF buckets plus typical
+    # tail-batch shapes
     warm = os.path.join(tmpdir, "warm.fq")
     with open(warm, "w") as fw, open(path) as fr:
-        fw.write("".join(line for _, line in zip(range(4 * 512), fr)))
+        fw.write("".join(line for _, line in zip(range(4 * 3072), fr)))
     for _ in run_search(engine, SearchOptions(File=warm, SequenceType=READS)):
         pass
 

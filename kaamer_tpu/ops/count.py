@@ -93,6 +93,44 @@ def count_topk(rows, k: int):
     return top_counts, hit_rows
 
 
+def member_bitmap(postings, offs, lens, hits, iters: int):
+    """Device-side position bitmaps: for each query b, hit k, and k-mer
+    position l, whether hit row hits[b,k] is in the postings slice
+    postings[offs[b,l] : offs[b,l]+lens[b,l]] (slices are sorted ascending).
+
+    postings: uint32[P]; offs/lens: int32[B, L]; hits: uint32[B, K];
+    iters: static bound ceil(log2(max_len+1))+1 from the DB's longest
+    postings list.  Returns bool[B, K, L] via an unrolled batched binary
+    search -- `iters` gathers of B*K*L elements, independent of the
+    expansion cap (the host equivalent is member_np below).
+    """
+    P = postings.shape[0]
+    lo = jnp.broadcast_to(offs[:, None, :], offs.shape[:1] + hits.shape[1:2] + offs.shape[1:])
+    end = offs + lens
+    hi = jnp.broadcast_to(end[:, None, :], lo.shape)
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    h = hits[:, :, None]
+    for _ in range(iters):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = jnp.take(postings, jnp.clip(mid, 0, max(P - 1, 0)).reshape(-1)).reshape(mid.shape)
+        go_right = active & (v < h)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    in_range = lo < end[:, None, :]
+    v = jnp.take(postings, jnp.clip(lo, 0, max(P - 1, 0)).reshape(-1)).reshape(lo.shape)
+    return in_range & (v == h)
+
+
+def pack_bits(bits):
+    """bool[..., L] -> uint8[..., L//8] little-endian bit packing (L % 8 == 0);
+    host inverse is np.unpackbits(..., bitorder='little')."""
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+    shaped = bits.reshape(bits.shape[:-1] + (bits.shape[-1] // 8, 8))
+    return (shaped.astype(jnp.uint8) * w).sum(axis=-1).astype(jnp.uint8)
+
+
 def member_np(postings: np.ndarray, offs: np.ndarray, lens: np.ndarray,
               hits: np.ndarray) -> np.ndarray:
     """Host-side position bitmaps: for one query, which k-mer positions'

@@ -109,7 +109,7 @@ class ShardedSearchEngine:
             )
         return self._fn_cache[key]
 
-    def count_batch(self, seqs, sizes, k: int):
+    def count_batch(self, seqs, sizes, k: int, positions: bool = False):
         from ..search.engine import QueryCounts
         from .mesh import replicate_query_batch
 
@@ -135,7 +135,9 @@ class ShardedSearchEngine:
             out.append(qc)
         return out
 
-    def dispatch_batch(self, seqs, sizes, k):
+    def dispatch_batch(self, seqs, sizes, k, positions: bool = False):
+        # positions resolve against the global CSR on host (_slices_for),
+        # so the flag needs no device-side work here
         return (seqs, sizes, k)
 
     def resolve_batch(self, handle):

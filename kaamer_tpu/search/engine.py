@@ -20,9 +20,8 @@ on device and are pulled lazily, only when position bitmaps are requested.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
@@ -31,7 +30,7 @@ from ..index.artifact import DBArtifact
 
 KMER_SIZE = 7
 CAP_MAX = 1 << 21
-CAP_MIN = 1 << 10
+CAP_MIN = 1 << 8
 # MinKMatch/MinKRatio are monotone in Kmatch and hits are ranked by Kmatch
 # desc, so FilterResults keeps a PREFIX of the ranked list; top-k with
 # k >= MaxResults is therefore exact.  16 leaves slack for small MaxResults.
@@ -39,23 +38,29 @@ TOPK_MIN = 16
 
 
 def _next_pow2(n: int) -> int:
-    return 1 << max(0, int(np.ceil(np.log2(max(n, 1)))))
+    return 1 << (int(n) - 1).bit_length() if n > 1 else 1
 
 
-@dataclass
 class QueryCounts:
     """Raw counting result for one query: top hits (dense rows) with their
     k-match counts, plus lazily materialized per-k-mer postings slices for
-    position lookups."""
+    position lookups.  Slotted plain class: one is built per query, so
+    construction cost is on the serving hot path."""
 
-    hit_rows: np.ndarray    # uint32[k'] dense protein rows, count desc
-    counts: np.ndarray      # int32[k']
-    _engine: "SearchEngine" = field(repr=False, default=None)
-    _batch: "_BatchIds" = field(repr=False, default=None)
-    _row: int = 0
-    _n_kmers: int = 0
-    _offs: Optional[np.ndarray] = None
-    _lens: Optional[np.ndarray] = None
+    __slots__ = ("hit_rows", "counts", "_engine", "_batch", "_row",
+                 "_n_kmers", "_offs", "_lens", "_bitmaps")
+
+    def __init__(self, hit_rows, counts, _engine=None, _batch=None,
+                 _row=0, _n_kmers=0):
+        self.hit_rows = hit_rows    # uint32[k'] dense protein rows, count desc
+        self.counts = counts        # int32[k']
+        self._engine = _engine
+        self._batch = _batch
+        self._row = _row
+        self._n_kmers = _n_kmers
+        self._offs = None
+        self._lens = None
+        self._bitmaps = None        # uint8[k_eff, L] device-computed bitmaps
 
     def _materialize_slices(self):
         if self._offs is None:
@@ -121,6 +126,10 @@ class SearchEngine:
         self.primary_log2 = art.hash_primary_log2
         self.secondary_log2 = art.hash_secondary_log2
         self._cap_hint = CAP_MIN
+        max_len = int(starts2[:, 1].max()) if starts2.size else 0
+        self._member_iters = (
+            max(1, int(np.ceil(np.log2(max_len + 1))) + 1) if max_len else 1
+        )
 
         self._fused = jax.jit(
             partial(
@@ -129,7 +138,7 @@ class SearchEngine:
                 primary_log2=self.primary_log2,
                 secondary_log2=self.secondary_log2,
             ),
-            static_argnames=("cap", "k", "width"),
+            static_argnames=("cap", "k", "width", "positions", "member_iters"),
         )
 
     # ------------------------------------------------------------------
@@ -137,15 +146,18 @@ class SearchEngine:
     # ------------------------------------------------------------------
 
     def count_batch(
-        self, seqs: Sequence[str], sizes: Sequence[int], k: int
+        self, seqs: Sequence[str], sizes: Sequence[int], k: int,
+        positions: bool = False,
     ) -> List[QueryCounts]:
         """Count k-mer hits for a batch of equal-bucket queries.
 
         seqs: query sequences; sizes: SizeInKmer per query (kmers [0, size)
         are searched, which already excludes a trailing '*')."""
-        return self.resolve_batch(self.dispatch_batch(seqs, sizes, k))
+        return self.resolve_batch(self.dispatch_batch(seqs, sizes, k,
+                                                      positions=positions))
 
-    def dispatch_batch(self, seqs: Sequence[str], sizes: Sequence[int], k: int):
+    def dispatch_batch(self, seqs: Sequence[str], sizes: Sequence[int], k: int,
+                       positions: bool = False):
         """Asynchronously dispatch one batch to the device; returns a handle
         for resolve_batch.  JAX dispatch is async, so several batches can be
         in flight, overlapping upload/compute/fetch across batches (the
@@ -176,17 +188,23 @@ class SearchEngine:
         outs = self._fused(
             self.table2, self.set_starts, self.postings,
             codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
+            positions=positions, member_iters=self._member_iters if positions else 0,
         )
-        return (outs, codes_dev, n_dev, list(sizes), k, cap, k_eff, L)
+        # start the device->host copies NOW so they overlap with later
+        # dispatches; resolve_batch's device_get then finds them complete
+        # (the link adds ~30ms RTT per blocking fetch otherwise)
+        for arr in (outs[:3] + outs[4:]):
+            arr.copy_to_host_async()
+        return (outs, codes_dev, n_dev, list(sizes), k, cap, k_eff, L, positions)
 
     def resolve_batch(self, handle) -> List[QueryCounts]:
         """Block on a dispatched batch and finalize per-query results,
         re-running at a larger expansion capacity if the batch overflowed."""
         if handle is None:
             return []
-        (outs, codes_dev, n_dev, sizes, k, cap, k_eff, L) = handle
+        (outs, codes_dev, n_dev, sizes, k, cap, k_eff, L, positions) = handle
         while True:
-            counts, hit_rows, totals, ids = outs
+            counts, hit_rows, totals, ids = outs[:4]
             counts_h, hits_h, totals_h = self._jax.device_get(
                 (counts, hit_rows, totals)
             )
@@ -198,7 +216,16 @@ class SearchEngine:
             outs = self._fused(
                 self.table2, self.set_starts, self.postings,
                 codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
+                positions=positions,
+                member_iters=self._member_iters if positions else 0,
             )
+            for arr in (outs[:3] + outs[4:]):
+                arr.copy_to_host_async()
+        bitmaps_h = None
+        if positions:
+            # uint8[B, k_eff, L//8] -> bool[B, k_eff, L]
+            packed_bm = self._jax.device_get(outs[4])
+            bitmaps_h = np.unpackbits(packed_bm, axis=-1, bitorder="little")
         # adapt the starting bucket toward observed volume
         self._cap_hint = max(CAP_MIN, min(_next_pow2(max(max_total, 1)), CAP_MAX))
 
@@ -221,6 +248,8 @@ class SearchEngine:
                     _row=i,
                     _n_kmers=sizes[i],
                 )
+                if bitmaps_h is not None:
+                    qc._bitmaps = bitmaps_h[i]
             out.append(qc)
         return out
 
@@ -259,8 +288,18 @@ class SearchEngine:
         self, qc: QueryCounts, hit_rows: Sequence[int]
     ) -> Dict[int, List[bool]]:
         """Per-hit bitmaps over query k-mer positions (reference
-        StoreMatchPositions, search.go:442-452), via vectorized binary search
-        in the postings slices."""
+        StoreMatchPositions, search.go:442-452).  Served straight from the
+        device-computed bit-packed bitmaps when the batch was dispatched with
+        positions=True; otherwise via vectorized host binary search in the
+        postings slices."""
+        if qc._bitmaps is not None:
+            idx = {int(r): j for j, r in enumerate(qc.hit_rows)}
+            n = qc._n_kmers
+            return {
+                int(h): qc._bitmaps[idx[int(h)], :n].astype(bool).tolist()
+                for h in hit_rows
+                if int(h) in idx
+            }
         from ..ops.count import member_np
 
         hits = np.asarray(list(hit_rows), dtype=np.uint32)
@@ -312,16 +351,31 @@ def _phase2_impl(postings, offs, cum, *, cap: int, k: int):
 
 
 def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
-                n_sets, primary_log2, secondary_log2, cap, k, width=0):
+                n_sets, primary_log2, secondary_log2, cap, k, width=0,
+                positions=False, member_iters=0):
     """Single-dispatch search step: unpack + probe + expand + count + rank.
 
     Returns (counts int32[B,k], hit_rows uint32[B,k], totals int32[B],
-    ids uint32[B,L]); ids are returned for lazy host-side position lookups.
+    ids uint32[B,L][, bitmaps uint8[B,k,L//8]]); ids are returned for lazy
+    host-side position lookups.  With positions=True the per-hit k-mer
+    position bitmaps (reference StoreMatchPositions, search.go:442-452) are
+    computed on device by batched binary search in the postings slices and
+    shipped back bit-packed, avoiding a separate ids download + host search
+    per batch.
     """
-    ids, offs, _, cum = _phase1_impl(
+    import jax.numpy as jnp
+
+    ids, offs, lens, cum = _phase1_impl(
         table2, set_starts, codes, n_kmers,
         n_sets=n_sets, primary_log2=primary_log2, secondary_log2=secondary_log2,
         width=width,
     )
     counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
-    return counts, hit_rows, cum[:, -1], ids
+    if not positions:
+        return counts, hit_rows, cum[:, -1], ids
+    from ..ops.count import member_bitmap, pack_bits
+
+    found = member_bitmap(postings, offs, lens, hit_rows, member_iters)
+    # rows with count 0 are sentinel padding; their bitmaps must be empty
+    found = found & (counts[:, :, None] > 0)
+    return counts, hit_rows, cum[:, -1], ids, pack_bits(found)

@@ -39,11 +39,11 @@ from .orf import get_orfs, set_best_start_codon
 from .results import AlignmentResult, Hit, QueryResult
 
 KMER_SIZE = 7
-# Queries per device dispatch.  Each dispatch pays a tunnel round trip
-# (~30ms) regardless of size while device compute is ~0.1ms, so large
-# batches are essentially free throughput; 1024 keeps time-to-first-row
-# short enough for streaming responses.
-BATCH_MAX = 1024
+# Queries per device dispatch.  Each dispatch pays fixed tunnel round trips
+# plus per-query transfer/compute that is cheap at small expansion caps, so
+# large batches amortize well; 2048 balances throughput against
+# time-to-first-row for streaming responses.
+BATCH_MAX = 2048
 
 
 def run_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[bytes]:
@@ -105,7 +105,8 @@ def _batched(queries: Iterator[QueryRecord]) -> Iterator[List[QueryRecord]]:
             yield lst
 
 
-def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4):
+def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
+               positions: bool = False):
     """Keep `depth` batches in flight on the device while finalizing earlier
     ones on the host (overlaps upload/compute/fetch)."""
     from collections import deque
@@ -113,7 +114,8 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4):
     pending = deque()
     for batch in batches:
         handle = engine.dispatch_batch(
-            [q.Sequence for q in batch], [q.SizeInKmer for q in batch], k=k
+            [q.Sequence for q in batch], [q.SizeInKmer for q in batch], k=k,
+            positions=positions,
         )
         pending.append((batch, handle))
         if len(pending) >= depth:
@@ -135,7 +137,8 @@ def protein_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryR
             yield q
 
     k = max(opts.MaxResults, 1)
-    for batch, counts in _pipelined(engine, _batched(queries()), k):
+    for batch, counts in _pipelined(engine, _batched(queries()), k,
+                                    positions=opts.ExtractPositions):
         for q, qc in zip(batch, counts):
             qr = _build_result(engine, q, qc, opts,
                                need_positions=opts.ExtractPositions)
@@ -241,7 +244,8 @@ def nucleotide_search(
     ext_ids = np.asarray(engine.art.protein_ids)
 
     k = max(opts.MaxResults, 1)
-    for batch, counts in _pipelined(engine, _batched(orf_queries()), k):
+    for batch, counts in _pipelined(engine, _batched(orf_queries()), k,
+                                    positions=True):
         for q, qc in zip(batch, counts):
             if qc.counts.size == 0 or int(qc.counts[0]) < opts.MinKMatch:
                 continue  # top-hit gate (search_nucleotide.go:116)

@@ -113,6 +113,31 @@ def test_position_bitmaps_match_oracle(synth_db):
         assert bitmaps[r] == want_pos[pid], f"hit {pid}"
 
 
+def test_device_position_bitmaps_match_host(synth_db):
+    """positions=True computes bitmaps on device (member_bitmap + pack_bits);
+    they must equal the host binary-search path bit for bit."""
+    art, oracle, seqs = synth_db
+    engine = SearchEngine(art)
+    rng = np.random.default_rng(3)
+
+    queries = [seqs[10], seqs[11], seqs[12], seqs[0][:40], seqs[5]]
+    # a mutated query exercises miss lanes
+    q = list(seqs[20])
+    for _ in range(6):
+        q[int(rng.integers(0, len(q)))] = AA[int(rng.integers(0, len(AA)))]
+    queries.append("".join(q))
+    sizes = [len(s) - 6 for s in queries]
+
+    res_dev = engine.count_batch(queries, sizes, k=10, positions=True)
+    res_host = engine.count_batch(queries, sizes, k=10, positions=False)
+    for qc_d, qc_h in zip(res_dev, res_host):
+        assert qc_d._bitmaps is not None
+        rows = [int(r) for r in qc_h.hit_rows]
+        want = engine.position_bitmaps(qc_h, rows)
+        got = engine.position_bitmaps(qc_d, rows)
+        assert got == want
+
+
 def test_queries_with_invalid_residues(synth_db):
     art, oracle, seqs = synth_db
     engine = SearchEngine(art)
