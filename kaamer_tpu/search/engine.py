@@ -41,6 +41,25 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length() if n > 1 else 1
 
 
+def _cap_bucket(n: int) -> int:
+    """Smallest allowed expansion capacity >= n.
+
+    Allowed capacities are {2^k, 1.25*2^k, 1.5*2^k} (all multiples of 64 for
+    k >= 8): device execution scales with B*L*cap, so the finer-than-pow2
+    grid avoids paying 2x when the workload's postings volume sits just past
+    a power of two (e.g. max totals 262 -> cap 320, not 512).
+    """
+    n = max(int(n), CAP_MIN)
+    if n >= CAP_MAX:
+        return CAP_MAX
+    p = _next_pow2(n)
+    h = p >> 1
+    for c in (h + (h >> 2), h + (h >> 1)):
+        if c >= n:
+            return c
+    return p
+
+
 class QueryCounts:
     """Raw counting result for one query: top hits (dense rows) with their
     k-match counts, plus lazily materialized per-k-mer postings slices for
@@ -211,7 +230,7 @@ class SearchEngine:
             max_total = int(totals_h.max())
             if max_total <= cap or cap >= CAP_MAX:
                 break
-            cap = min(_next_pow2(max_total), CAP_MAX)
+            cap = _cap_bucket(max_total)
             k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
             outs = self._fused(
                 self.table2, self.set_starts, self.postings,
@@ -226,8 +245,9 @@ class SearchEngine:
             # uint8[B, k_eff, L//8] -> bool[B, k_eff, L]
             packed_bm = self._jax.device_get(outs[4])
             bitmaps_h = np.unpackbits(packed_bm, axis=-1, bitorder="little")
-        # adapt the starting bucket toward observed volume
-        self._cap_hint = max(CAP_MIN, min(_next_pow2(max(max_total, 1)), CAP_MAX))
+        # adapt the starting bucket toward observed volume, with 1/16 slack
+        # so batches hovering at a bucket edge don't oscillate into re-runs
+        self._cap_hint = _cap_bucket(max_total + (max_total >> 4))
 
         overflow = totals_h > CAP_MAX
         # top_k counts are descending, so nonzero entries form a prefix
