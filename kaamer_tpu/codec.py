@@ -132,10 +132,13 @@ def query_num_kmers(seq: str) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Wire packing: 3 residue codes per uint16 for host->device query upload.
-# The device link is bandwidth-bound (~30 MB/s up through the tunnel), so the
-# query matrix is packed 3 residues/uint16 (22^3 = 10648 < 2^16; pad = 21)
-# and unpacked on device, cutting upload bytes 1.5x vs int8-per-residue.
+# Wire packing for host->device query upload.  The device link is
+# bandwidth-bound (~30 MB/s up through the tunnel), so the query matrix is
+# packed base-22 (21 residues + 1 in-band pad code) and unpacked on device:
+#   pack_codes3: 3 residues/uint16 (22^3 = 10648 < 2^16)  -- 5.33 bits/residue
+#   pack_codes7: 7 residues/uint32 (22^7 ~ 2.49e9 < 2^32) -- 4.57 bits/residue
+# pack_codes7 is the serving wire format; pack_codes3 is kept for tests and
+# as the simpler reference packing.
 # ---------------------------------------------------------------------------
 
 PAD3 = 21  # in-band padding residue for the packed wire format
@@ -158,6 +161,39 @@ def unpack_codes3_jnp(packed, width: int):
     p = packed.astype(jnp.int32)
     d = jnp.stack([p // 484, (p // 22) % 22, p % 22], axis=-1)
     c = d.reshape(p.shape[0], -1)[:, :width]
+    return jnp.where(c == PAD3, -1, c)
+
+
+def pack_codes7(codes: np.ndarray) -> np.ndarray:
+    """int8[B, W] residue codes (-1 = pad) -> uint32[B, ceil(W/7)].
+
+    Base-22 positional packing, most-significant residue first:
+    word = sum_i c[i] * 22^(6-i); max value 22^7 - 1 < 2^32."""
+    B, W = codes.shape
+    W7 = -(-W // 7) * 7
+    c = np.full((B, W7), PAD3, dtype=np.uint64)
+    c[:, :W] = np.where(codes >= 0, codes, PAD3).astype(np.uint64)
+    c = c.reshape(B, W7 // 7, 7)
+    w = (22 ** np.arange(6, -1, -1)).astype(np.uint64)
+    return (c * w).sum(axis=2).astype(np.uint32)
+
+
+def unpack_codes7_jnp(packed, width: int):
+    """Device inverse of pack_codes7: uint32[B, ceil(W/7)] -> int32[B, width].
+
+    Division by powers of 22 is exact unsigned 32-bit arithmetic (values stay
+    below 2^32); XLA lowers the constant divisions to multiply-high."""
+    import jax.numpy as jnp
+
+    p = packed.astype(jnp.uint32)
+    digits = []
+    for k in range(6, 0, -1):
+        d = p // np.uint32(22**k)
+        digits.append(d % np.uint32(22) if k < 6 else d)
+        # (the first quotient is already < 22; later ones need the mod)
+    digits.append(p % np.uint32(22))
+    c = jnp.stack(digits, axis=-1).astype(jnp.int32)
+    c = c.reshape(p.shape[0], -1)[:, :width]
     return jnp.where(c == PAD3, -1, c)
 
 

@@ -197,9 +197,9 @@ class SearchEngine:
         n_kmers = np.zeros(B, dtype=np.int32)
         n_kmers[:B_real] = sizes
 
-        # the host->device link is the throughput bottleneck: ship 3 residues
-        # per uint16 and unpack on device (codec.pack_codes3)
-        codes_dev = jnp.asarray(codec.pack_codes3(codes))
+        # the host->device link is the throughput bottleneck: ship 7 residues
+        # per uint32 (4.57 bits/residue) and unpack on device
+        codes_dev = jnp.asarray(codec.pack_codes7(codes))
         n_dev = jnp.asarray(n_kmers)
 
         cap = self._cap_hint
@@ -336,15 +336,19 @@ class SearchEngine:
 
 def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, primary_log2,
                  secondary_log2, width: int = 0):
-    """codes: int8/int32[B, L+6] residue codes, or (width>0) the packed
-    uint16 wire format from codec.pack_codes3 with width == L+6."""
+    """codes: int8/int32[B, L+6] residue codes, or (width>0) a packed wire
+    format with width == L+6: uint32 from codec.pack_codes7 (the serving
+    path) or uint16 from codec.pack_codes3 (dtype selects the decoder)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.probe import probe
 
     if width:
-        codes = codec.unpack_codes3_jnp(codes, width)
+        if codes.dtype == jnp.uint32:
+            codes = codec.unpack_codes7_jnp(codes, width)
+        else:
+            codes = codec.unpack_codes3_jnp(codes, width)
     B = codes.shape[0]
     L = codes.shape[1] - (KMER_SIZE - 1)
     codes = codes.astype(jnp.int32)

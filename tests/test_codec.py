@@ -87,6 +87,26 @@ def test_pack_codes3_roundtrip():
         assert np.array_equal(out, codes.astype(np.int32)), width
 
 
+def test_pack_codes7_roundtrip():
+    """Serving wire packing (7 residues/uint32, base-22) roundtrips through
+    the device unpack for every width mod 7, including the extreme words
+    (all code 21 -> 22^7 - 1, near the uint32 limit)."""
+    import numpy as np
+    from kaamer_tpu import codec
+
+    rng = np.random.default_rng(6)
+    for width in (1, 6, 7, 8, 62, 63, 64, 262):
+        codes = rng.integers(-1, codec.N_AA, size=(4, width)).astype(np.int8)
+        codes[0, :] = codec.N_AA - 1   # max residue everywhere
+        codes[1, :] = -1               # all padding (packs to 22^7 - 1)
+        packed = codec.pack_codes7(codes)
+        assert packed.dtype == np.uint32
+        assert packed.shape == (4, -(-width // 7))
+        out = np.asarray(codec.unpack_codes7_jnp(packed, width))
+        assert out.shape == (4, width)
+        assert np.array_equal(out, codes.astype(np.int32)), width
+
+
 def test_pad_codes_batch_matches_scalar():
     import numpy as np
     from kaamer_tpu import codec
