@@ -89,6 +89,36 @@ def test_protein_search_json(server):
     assert doc["results"][0]["SearchResults"]["Hits"][0]["Kmatch"] == len(seqs[7]) - 6
 
 
+def test_concurrent_requests(server):
+    """The engine is shared across ThreadingHTTPServer threads (the
+    reference serves every request from one read-only store, api/server.go:65);
+    simultaneous searches must all return their own correct top hit."""
+    url, seqs, _ = server
+    results = {}
+    errors = []
+
+    def worker(i):
+        try:
+            with _post_form(
+                url + "/api/search/protein",
+                {"type": "string", "sequence": f">q{i}\n" + seqs[i],
+                 "max-results": "1"},
+            ) as resp:
+                results[i] = resp.read().decode()
+        except Exception as e:  # pragma: no cover
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    for i in range(8):
+        line = results[i].strip().split("\n")[1].split("\t")
+        assert line[0] == f"q{i}" and line[1] == f"SP{i}" and line[2] == "100.00"
+
+
 def test_missing_type_is_400(server):
     import urllib.error
 
