@@ -33,7 +33,6 @@ from __future__ import annotations
 import gzip
 import io
 import re
-from dataclasses import dataclass, field
 from typing import Iterator, List, Tuple
 
 from ..records import Protein
@@ -318,22 +317,30 @@ PARSERS = {
 # ---------------------------------------------------------------------------
 
 
-@dataclass
 class QueryLocation:
-    StartPosition: int = 1
-    EndPosition: int = 0
-    PlusStrand: bool = True
-    StartsAlternative: List[int] = field(default_factory=list)
+    """Slotted: one per query/ORF on the serving hot path."""
+
+    __slots__ = ("StartPosition", "EndPosition", "PlusStrand", "StartsAlternative")
+
+    def __init__(self, StartPosition=1, EndPosition=0, PlusStrand=True,
+                 StartsAlternative=None):
+        self.StartPosition = StartPosition
+        self.EndPosition = EndPosition
+        self.PlusStrand = PlusStrand
+        self.StartsAlternative = [] if StartsAlternative is None else StartsAlternative
 
 
-@dataclass
 class QueryRecord:
-    Sequence: str = ""
-    Name: str = ""
-    SizeInKmer: int = 0
-    Type: str = ""
-    Location: QueryLocation = field(default_factory=QueryLocation)
-    Contig: str = ""
+    __slots__ = ("Sequence", "Name", "SizeInKmer", "Type", "Location", "Contig")
+
+    def __init__(self, Sequence="", Name="", SizeInKmer=0, Type="",
+                 Location=None, Contig=""):
+        self.Sequence = Sequence
+        self.Name = Name
+        self.SizeInKmer = SizeInKmer
+        self.Type = Type
+        self.Location = Location if Location is not None else QueryLocation()
+        self.Contig = Contig
 
 
 def read_fasta_queries(path: str, is_protein: bool) -> Iterator[QueryRecord]:

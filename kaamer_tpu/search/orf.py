@@ -26,7 +26,6 @@ used the bacterial table (dna.go:106 quirk); defaults agree (table 11).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import List
 
 import numpy as np
@@ -55,18 +54,42 @@ def get_frame(frame_number: int, dna: str) -> str:
     return dna[start : len(dna) - (ln % 3)]
 
 
-@dataclass
 class Location:
-    StartPosition: int = 1
-    EndPosition: int = 0
-    PlusStrand: bool = True
-    StartsAlternative: List[int] = field(default_factory=list)
+    """Slotted plain class: ~29k Locations are built per 8k-read fastq batch,
+    so construction cost is on the serving hot path."""
+
+    __slots__ = ("StartPosition", "EndPosition", "PlusStrand", "StartsAlternative")
+
+    def __init__(self, StartPosition=1, EndPosition=0, PlusStrand=True,
+                 StartsAlternative=None):
+        self.StartPosition = StartPosition
+        self.EndPosition = EndPosition
+        self.PlusStrand = PlusStrand
+        self.StartsAlternative = [] if StartsAlternative is None else StartsAlternative
+
+    def __eq__(self, other):
+        return (self.StartPosition, self.EndPosition, self.PlusStrand,
+                self.StartsAlternative) == (
+            other.StartPosition, other.EndPosition, other.PlusStrand,
+            other.StartsAlternative)
+
+    def __repr__(self):
+        return (f"Location({self.StartPosition}, {self.EndPosition}, "
+                f"{self.PlusStrand}, {self.StartsAlternative})")
 
 
-@dataclass
 class ORF:
-    Sequence: str
-    Location: Location
+    __slots__ = ("Sequence", "Location")
+
+    def __init__(self, Sequence, Location):
+        self.Sequence = Sequence
+        self.Location = Location
+
+    def __eq__(self, other):
+        return (self.Sequence, self.Location) == (other.Sequence, other.Location)
+
+    def __repr__(self):
+        return f"ORF({self.Sequence!r}, {self.Location!r})"
 
 
 def get_orfs(dna: str, gcode_id: int = 11) -> List[ORF]:
@@ -98,15 +121,17 @@ def get_orfs_batch(seqs: List[str], gcode_id: int = 11):
         return None
     seq_buf, seq_off, meta, alts_buf, alts_off = out
     result: List[List[ORF]] = [[] for _ in seqs]
-    for k in range(meta.shape[0]):
-        r, sp, ep, plus = (int(meta[k, 0]), int(meta[k, 1]),
-                           int(meta[k, 2]), bool(meta[k, 3]))
-        seq = bytes(seq_buf[seq_off[k]:seq_off[k + 1]]).decode("latin-1")
-        alts = alts_buf[alts_off[k]:alts_off[k + 1]].tolist()
+    # one bulk conversion each instead of per-ORF numpy scalar reads
+    all_seq = seq_buf.tobytes().decode("latin-1")
+    seq_off_l = seq_off.tolist()
+    alts_l = alts_buf.tolist()
+    alts_off_l = alts_off.tolist()
+    for k, (r, sp, ep, plus) in enumerate(meta.tolist()):
         result[r].append(ORF(
-            Sequence=seq,
+            Sequence=all_seq[seq_off_l[k]:seq_off_l[k + 1]],
             Location=Location(StartPosition=sp, EndPosition=ep,
-                              PlusStrand=plus, StartsAlternative=alts),
+                              PlusStrand=bool(plus),
+                              StartsAlternative=alts_l[alts_off_l[k]:alts_off_l[k + 1]]),
         ))
     return result
 
