@@ -120,9 +120,54 @@ def run_search(args) -> None:
     print(f"search: {dt:.2f}s, {n_rows} result rows, {n_bytes} bytes")
 
 
+def run_scaling(args) -> None:
+    """Scaling-efficiency measurement (BASELINE.md target: queries/s/chip at
+    1 chip, 1 host, N>=2 hosts): time the sharded search step over meshes of
+    1, 2, 4, ... shards on whatever devices exist -- real chips on a pod
+    slice, or virtual CPU devices under
+    XLA_FLAGS=--xla_force_host_platform_device_count=N."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ..index.artifact import load_db
+    from ..parallel.dist import ShardedSearchEngine
+
+    art = load_db(args.d)
+    rng = np.random.default_rng(11)
+    n_q = 256
+    queries = []
+    for _ in range(n_q):
+        row = int(rng.integers(0, art.num_proteins))
+        queries.append(art.sequence(row)[:80])
+    sizes = [len(q) - 6 for q in queries]
+
+    devices = jax.devices()
+    base = None
+    n = 1
+    while n <= len(devices):
+        mesh = Mesh(np.array(devices[:n]).reshape(1, n), ("dp", "shard"))
+        eng = ShardedSearchEngine(art, mesh=mesh, cap=1 << 10, k=32)
+        eng.count_batch(queries, sizes, k=10)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(2):
+            eng.count_batch(queries, sizes, k=10)
+        qps = 2 * n_q / (time.perf_counter() - t0)
+        if base is None:
+            base = qps
+        print(json.dumps({
+            "n_shards": n,
+            "queries_per_s": round(qps, 1),
+            "speedup": round(qps / base, 2),
+            "efficiency": round(qps / base / n, 2),
+        }))
+        n *= 2
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kaamer-bench")
-    p.add_argument("-func", required=True, choices=["makedb", "opendb", "search"])
+    p.add_argument("-func", required=True,
+                   choices=["makedb", "opendb", "search", "scaling"])
     p.add_argument("-i", default="", help="input file")
     p.add_argument("-f", default="fasta", help="input format")
     p.add_argument("-d", required=True, help="database path")
@@ -133,7 +178,8 @@ def main(argv=None) -> int:
     p.add_argument("-interval", type=float, default=1.0, help="sampler interval (s)")
     args = p.parse_args(argv)
 
-    fn = {"makedb": run_makedb, "opendb": run_opendb, "search": run_search}[args.func]
+    fn = {"makedb": run_makedb, "opendb": run_opendb, "search": run_search,
+          "scaling": run_scaling}[args.func]
 
     t0 = time.perf_counter()
     with MemoryMonitor(args.monitor, args.interval):
