@@ -168,14 +168,21 @@ def pack_codes7(codes: np.ndarray) -> np.ndarray:
     """int8[B, W] residue codes (-1 = pad) -> uint32[B, ceil(W/7)].
 
     Base-22 positional packing, most-significant residue first:
-    word = sum_i c[i] * 22^(6-i); max value 22^7 - 1 < 2^32."""
+    word = sum_i c[i] * 22^(6-i); max value 22^7 - 1 < 2^32, and every
+    partial product stays below 2^32, so the whole accumulation runs in
+    uint32 (u64 temporaries tripled the host cost of this hot function)."""
     B, W = codes.shape
     W7 = -(-W // 7) * 7
-    c = np.full((B, W7), PAD3, dtype=np.uint64)
-    c[:, :W] = np.where(codes >= 0, codes, PAD3).astype(np.uint64)
-    c = c.reshape(B, W7 // 7, 7)
-    w = (22 ** np.arange(6, -1, -1)).astype(np.uint64)
-    return (c * w).sum(axis=2).astype(np.uint32)
+    c = np.full((B, W7), PAD3, dtype=np.uint32)
+    np.copyto(c[:, :W], codes, casting="unsafe", where=codes >= 0)
+    out = c[:, 0::7] * np.uint32(22**6)
+    for i in range(1, 7):
+        w = np.uint32(22 ** (6 - i))
+        if w == 1:
+            out += c[:, i::7]
+        else:
+            out += c[:, i::7] * w
+    return out
 
 
 def unpack_codes7_jnp(packed, width: int):
