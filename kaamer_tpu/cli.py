@@ -30,6 +30,8 @@ def _db_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", type=int, default=8321, help="server port")
     p.add_argument("-t", type=int, default=os.cpu_count(), help="number of threads")
     p.add_argument("-tmp", default="/tmp/", help="tmp folder for query import")
+    p.add_argument("-shards", type=int, default=0,
+                   help="serve from an index sharded over N devices (0 = single-device)")
     p.add_argument("-i", default="", help="input file")
     p.add_argument("-f", default="", help="input format (fasta|tsv|embl|gbk|genbank)")
     p.add_argument("-d", default="", help="database path")
@@ -61,7 +63,7 @@ def kaamer_db_main(argv=None) -> int:
             return 1
         from .server.app import serve
 
-        serve(args.d, args.p, args.t, args.tmp)
+        serve(args.d, args.p, args.t, args.tmp, n_shards=args.shards)
         return 0
 
     if args.download:

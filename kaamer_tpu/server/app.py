@@ -242,15 +242,25 @@ def make_handler(engine: SearchEngine, tmp_folder: str, web_dirs: dict):
 
 
 def serve(db_path: str, port: int = 8321, nb_threads: int = 0,
-          tmp_folder: str = "/tmp/"):
-    """NewServer equivalent (api/server.go:47-116)."""
+          tmp_folder: str = "/tmp/", n_shards: int = 0):
+    """NewServer equivalent (api/server.go:47-116).
+
+    n_shards > 1 serves from a k-mer-hash-sharded index over a (dp, shard)
+    device mesh (parallel/dist.ShardedSearchEngine); results are bit-identical
+    to single-chip serving (tests/test_dist.py)."""
     if not os.path.isdir(tmp_folder):
         tmp_folder = tempfile.gettempdir()
 
     print(" + Opening kAAmer Database.. ", end="", flush=True)
     t0 = time.time()
     art = load_db(db_path)
-    engine = SearchEngine(art)
+    if n_shards > 1:
+        from ..parallel.dist import ShardedSearchEngine, global_mesh
+
+        engine = ShardedSearchEngine(art, mesh=global_mesh(n_shards))
+        print(f"[sharded x{n_shards}] ", end="", flush=True)
+    else:
+        engine = SearchEngine(art)
     print(f"done [{int(time.time() - t0) // 60:02d}m{int(time.time() - t0) % 60:02d}s]")
 
     web_dirs = {}

@@ -119,6 +119,33 @@ def test_concurrent_requests(server):
         assert line[0] == f"q{i}" and line[1] == f"SP{i}" and line[2] == "100.00"
 
 
+def test_sharded_engine_serves(server, tmp_path):
+    """-shards N serving: the HTTP handler over a ShardedSearchEngine returns
+    the same bytes as single-device serving."""
+    import urllib.parse
+
+    url, seqs, tmp = server
+    from kaamer_tpu.parallel.dist import ShardedSearchEngine, global_mesh
+
+    engine = ShardedSearchEngine(load_db(str(tmp / "db")), mesh=global_mesh(4))
+    handler = make_handler(engine, str(tmp_path), {})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        sharded_url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        fields = {"type": "string", "sequence": ">q\n" + seqs[4],
+                  "max-results": "3", "positions": "true"}
+        with _post_form(sharded_url + "/api/search/protein", fields) as resp:
+            sharded_body = resp.read()
+        with _post_form(url + "/api/search/protein", fields) as resp:
+            single_body = resp.read()
+        assert sharded_body == single_body
+        assert sharded_body.decode().strip().split("\n")[1].split("\t")[1] == "SP4"
+    finally:
+        httpd.shutdown()
+
+
 def test_missing_type_is_400(server):
     import urllib.error
 
