@@ -25,6 +25,8 @@ from typing import Optional
 
 import numpy as np
 
+KMER_SIZE = 7
+
 
 def init_distributed(
     coordinator_address: Optional[str] = None,
@@ -70,20 +72,27 @@ def global_mesh(n_shards: Optional[int] = None):
 
 class ShardedSearchEngine:
     """Counting engine over a sharded index on a (dp, shard) mesh.  Exposes
-    the same count_batch contract as search.engine.SearchEngine, so the
-    search pipelines can run unmodified on top of it."""
+    the same dispatch/resolve contract as search.engine.SearchEngine, so the
+    search pipelines (and their batch pipelining) run unmodified on top of
+    it: queries ship packed 7 residues/uint32, device->host copies start at
+    dispatch time, and the expansion capacity adapts to the observed
+    shard-local postings volume just like the single-chip engine."""
 
-    def __init__(self, art, mesh=None, cap: int = 1 << 14, k: int = 64):
+    CAP_MIN = 1 << 8
+    CAP_MAX = 1 << 18  # per-shard; the merge concatenates n_shards * cap
+
+    def __init__(self, art, mesh=None, cap: int = 0, k: int = 64):
+        import jax
         import jax.numpy as jnp
 
-        from ..search.engine import QueryCounts, _next_pow2  # noqa: F401
-        from .mesh import make_sharded_search, shard_index
+        from .mesh import shard_index
 
+        self._jax = jax
         self.art = art
         self.mesh = mesh or global_mesh()
         self.n_shards = self.mesh.shape["shard"]
         self.dp = self.mesh.shape["dp"]
-        self.cap = cap
+        self._cap_hint = cap or self.CAP_MIN
         self.k = k
 
         self.sharded = shard_index(art, self.n_shards)
@@ -97,69 +106,82 @@ class ShardedSearchEngine:
         self.set_starts_np = np.concatenate([so, so[-1:]]).astype(np.int64)
         self.postings_np = np.asarray(art.postings)
 
-    def _fn(self, cap: int, k: int):
+    def _fn(self, cap: int, k: int, width: int):
         from .mesh import make_sharded_search
 
-        key = (cap, k)
+        key = (cap, k, width)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sharded_search(
                 self.mesh, self.sharded.n_sets_padded,
                 self.sharded.primary_log2, self.sharded.secondary_log2,
-                cap=cap, k=k,
+                cap=cap, k=k, width=width,
             )
         return self._fn_cache[key]
 
     def count_batch(self, seqs, sizes, k: int, positions: bool = False):
-        from ..search.engine import QueryCounts
-        from .mesh import replicate_query_batch
+        return self.resolve_batch(self.dispatch_batch(seqs, sizes, k,
+                                                      positions=positions))
+
+    def _run(self, wire_np, n_np, cap, k_eff, width):
+        import jax.numpy as jnp
+
+        outs = self._fn(cap, k_eff, width)(
+            self.tables, self.set_starts, self.postings,
+            jnp.asarray(wire_np), jnp.asarray(n_np),
+        )
+        for arr in outs:
+            arr.copy_to_host_async()
+        return outs
+
+    def dispatch_batch(self, seqs, sizes, k, positions: bool = False):
+        from .. import codec
+        from ..search.engine import TOPK_MIN, _next_pow2
 
         if not seqs:
-            return []
-        k_eff = max(k, 32)
-        codes, n_kmers = replicate_query_batch(
-            seqs, sizes, batch_mult=self.dp * self.n_shards
-        )
-        counts, hit_rows = self._fn(self.cap, k_eff)(
-            self.tables, self.set_starts, self.postings, codes, n_kmers
-        )
-        counts = np.asarray(counts)
-        hit_rows = np.asarray(hit_rows)
+            return None
+        mult = self.dp * self.n_shards
+        B0 = len(seqs)
+        # divisible by dp*shard AND shape-bucketed (pow2 multiples of mult)
+        B = mult * _next_pow2(-(-B0 // mult))
+        padded = list(seqs) + [""] * (B - B0)
+        L = _next_pow2(max(max(sizes), 8))
+        width = L + KMER_SIZE - 1
+        codes = codec.pad_codes_batch(padded, width)
+        wire = codec.pack_codes7(codes)
+        n_np = np.zeros(B, dtype=np.int32)
+        n_np[:B0] = sizes
 
+        cap = max(self._cap_hint, self.CAP_MIN)
+        k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap * self.n_shards)
+        outs = self._run(wire, n_np, cap, k_eff, width)
+        return (outs, wire, n_np, list(seqs), list(sizes), k_eff, cap, width)
+
+    def resolve_batch(self, handle):
+        from ..search.engine import QueryCounts, _cap_bucket
+
+        if handle is None:
+            return []
+        (outs, wire, n_np, seqs, sizes, k_eff, cap, width) = handle
+        while True:
+            counts, hit_rows, totals = self._jax.device_get(tuple(outs))
+            max_total = int(totals.max())
+            if max_total <= cap or cap >= self.CAP_MAX:
+                break
+            cap = min(_cap_bucket(max_total), self.CAP_MAX)
+            outs = self._run(wire, n_np, cap, k_eff, width)
+        self._cap_hint = min(_cap_bucket(max_total + (max_total >> 4)),
+                             self.CAP_MAX)
+
+        slices = _LazyBatchSlices(self, seqs, sizes)
         out = []
         for i, size in enumerate(sizes):
             c = counts[i]
             nz = c > 0
-            qc = QueryCounts(hit_rows=hit_rows[i][nz], counts=c[nz])
-            # positions resolve against the global CSR on host
-            qc._offs, qc._lens = self._slices_for(seqs[i], size)
+            qc = QueryCounts(hit_rows=hit_rows[i][nz], counts=c[nz],
+                             _engine=self, _batch=slices, _row=i,
+                             _n_kmers=size)
             out.append(qc)
         return out
-
-    def dispatch_batch(self, seqs, sizes, k, positions: bool = False):
-        # positions resolve against the global CSR on host (_slices_for),
-        # so the flag needs no device-side work here
-        return (seqs, sizes, k)
-
-    def resolve_batch(self, handle):
-        if handle is None:
-            return []
-        return self.count_batch(*handle)
-
-    def _slices_for(self, seq: str, size: int):
-        from .. import codec
-        from ..index.hashtable import lookup_np, KmerHashTable
-
-        if not hasattr(self, "_ht"):
-            self._ht = KmerHashTable(
-                table=np.asarray(self.art.hash_table),
-                primary_log2=self.art.hash_primary_log2,
-                secondary_log2=self.art.hash_secondary_log2,
-            )
-        kmers = codec.encode_kmers(codec.seq_to_codes(seq))[:size]
-        n_sets = self.set_starts_np.size - 2
-        ids = lookup_np(self._ht, kmers, missing=n_sets).astype(np.int64)
-        starts = self.set_starts_np
-        return starts[ids], starts[ids + 1] - starts[ids]
 
     def position_bitmaps(self, qc, hit_rows):
         from ..ops.count import member_np
@@ -169,3 +191,45 @@ class ShardedSearchEngine:
             return {}
         found = member_np(self.postings_np, qc.offs, qc.lens, hits)
         return {int(h): found[j].tolist() for j, h in enumerate(hits)}
+
+
+class _LazyBatchSlices:
+    """Per-batch lazy global k-mer -> set-id resolution for position
+    lookups: one vectorized host probe for the whole batch, computed only
+    if some query actually needs position bitmaps (mirrors the single-chip
+    engine's lazy device-ids pull)."""
+
+    def __init__(self, engine: "ShardedSearchEngine", seqs, sizes):
+        self._engine = engine
+        self._seqs = seqs
+        self._sizes = sizes
+        self._ids = None
+
+    def host(self) -> np.ndarray:
+        if self._ids is None:
+            from .. import codec
+            from ..index.hashtable import KmerHashTable, lookup_np
+
+            eng = self._engine
+            if not hasattr(eng, "_ht"):
+                eng._ht = KmerHashTable(
+                    table=np.asarray(eng.art.hash_table),
+                    primary_log2=eng.art.hash_primary_log2,
+                    secondary_log2=eng.art.hash_secondary_log2,
+                )
+            n_sets = eng.set_starts_np.size - 2
+            L = max(self._sizes) if self._sizes else 1
+            ids = np.full((len(self._seqs), L), n_sets, dtype=np.uint32)
+            width = L + KMER_SIZE - 1
+            codes = codec.pad_codes_batch(self._seqs, width)
+            for i, size in enumerate(self._sizes):
+                kmers = _encode_row(codes[i], size)
+                ids[i, :size] = lookup_np(eng._ht, kmers, missing=n_sets)
+            self._ids = ids
+        return self._ids
+
+
+def _encode_row(codes_row: np.ndarray, n: int) -> np.ndarray:
+    from .. import codec
+
+    return codec.encode_kmers(codes_row.astype(np.int32))[:n]

@@ -174,13 +174,18 @@ def shard_index_arrays(
 
 
 def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
-                        secondary_log2: int, cap: int, k: int):
+                        secondary_log2: int, cap: int, k: int,
+                        width: int = 0):
     """Build the jitted multi-device search step over `mesh` with axes
     ("dp", "shard").
 
     Returns fn(tables, set_starts, postings, codes, n_kmers) ->
-    (counts int32[B, k], hit_rows uint32[B, k]) with B divisible by
-    dp * shard sizes.
+    (counts int32[B, k], hit_rows uint32[B, k], totals int32[B]) with B
+    divisible by dp * shard sizes.  `codes` is int32[B, L+6] residue codes,
+    or -- when width == L+6 is given -- the packed uint32 wire format from
+    codec.pack_codes7 (7 residues/word; what ships over DCN on multi-host
+    meshes).  `totals` is each query's maximum shard-local postings volume,
+    driving the adaptive capacity exactly like the single-chip engine.
     """
     import jax
     import jax.numpy as jnp
@@ -191,19 +196,21 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
     from ..ops.count import count_topk, gather_postings
     from ..ops.probe import probe
 
-    n_shards = mesh.shape["shard"]
-
     def local_step(table_b, set_starts, postings, codes, n_kmers):
         # shapes inside shard_map (per device):
         # table_b [1, nb, 2W]; set_starts [1, S+1, 2]; postings [1, P];
-        # codes [B_dp, L+6] (replicated over "shard"); n_kmers [B_dp]
+        # codes [B_dp, ...] (replicated over "shard"); n_kmers [B_dp]
         table_b = table_b[0]
         set_starts = set_starts[0]
         postings = postings[0]
 
-        B = codes.shape[0]
-        L = codes.shape[1] - (KMER_SIZE - 1)
-        kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes)
+        if width:
+            codes_i = codec.unpack_codes7_jnp(codes, width)
+        else:
+            codes_i = codes
+        B = codes_i.shape[0]
+        L = codes_i.shape[1] - (KMER_SIZE - 1)
+        kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes_i)
         ids = probe(table_b, kmers, primary_log2, secondary_log2,
                     miss_value=np.uint32(n_sets_padded))
         lane = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -223,7 +230,13 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
             rows, "shard", split_axis=0, concat_axis=1, tiled=True
         )
         counts, hit_rows = count_topk(rows_ex, k)
-        return counts, hit_rows
+        # max shard-local volume per query, for host-side cap adaptation;
+        # swap like the rows so each device reports the queries it finalized
+        tmax = jax.lax.pmax(total, "shard")
+        tmax = jax.lax.all_to_all(
+            tmax[:, None], "shard", split_axis=0, concat_axis=1, tiled=True
+        )[:, 0]
+        return counts, hit_rows, tmax
 
     fn = shard_map(
         local_step,
@@ -235,7 +248,8 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
             P("dp", None),            # codes (replicated over shard)
             P("dp",),                 # n_kmers
         ),
-        out_specs=(P(("dp", "shard"), None), P(("dp", "shard"), None)),
+        out_specs=(P(("dp", "shard"), None), P(("dp", "shard"), None),
+                   P(("dp", "shard"),)),
         # codes are replicated over "shard" while table gathers vary over it;
         # the probe loop carry mixes the two, so disable the vma check
         check_vma=False,

@@ -56,11 +56,12 @@ def test_sharded_matches_single_chip(db_and_queries):
         mesh, sharded.n_sets_padded, sharded.primary_log2, sharded.secondary_log2,
         cap=cap, k=32,
     )
-    counts, hit_rows = fn(
+    counts, hit_rows, totals = fn(
         sharded.tables, sharded.set_starts, sharded.postings, codes, n_kmers
     )
     counts = np.asarray(counts)
     hit_rows = np.asarray(hit_rows)
+    assert int(np.asarray(totals).max()) <= cap
 
     for i, qc in enumerate(single):
         got = [
