@@ -123,6 +123,25 @@ def member_bitmap(postings, offs, lens, hits, iters: int):
     return in_range & (v == h)
 
 
+def member_bitmap_from_rows(rows, seg, hits, L: int):
+    """Position bitmaps from the already-expanded postings (gather-free).
+
+    rows: uint32[B, cap] expanded row multiset (ROW_SENTINEL padding);
+    seg:  int32[B, cap] k-mer position index of each expanded entry;
+    hits: uint32[B, K] top hit rows.  bitmap[b,k,l] = expanded entry with
+    row==hits[b,k] at position l exists.  Computed as one bf16 batched
+    matmul over {0,1} indicators -- each (row, l) pair occurs at most once,
+    so the f32-accumulated sum is exactly 0 or 1.  MXU work is B*cap*K*L
+    MACs: far cheaper than a postings binary search at small caps, and
+    independent of the DB's longest postings list.
+    """
+    match_k = (rows[:, :, None] == hits[:, None, :]).astype(jnp.bfloat16)
+    onehot_l = (seg[:, :, None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.bfloat16)
+    acc = jnp.einsum("bjk,bjl->bkl", match_k, onehot_l,
+                     preferred_element_type=jnp.float32)
+    return acc > 0.5
+
+
 def pack_bits(bits):
     """bool[..., L] -> uint8[..., L//8] little-endian bit packing (L % 8 == 0);
     host inverse is np.unpackbits(..., bitorder='little')."""

@@ -394,12 +394,27 @@ def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
         n_sets=n_sets, primary_log2=primary_log2, secondary_log2=secondary_log2,
         width=width,
     )
-    counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
     if not positions:
+        counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
         return counts, hit_rows, cum[:, -1], ids
-    from ..ops.count import member_bitmap, pack_bits
 
-    found = member_bitmap(postings, offs, lens, hit_rows, member_iters)
+    from ..ops.count import (
+        count_topk,
+        gather_postings,
+        member_bitmap,
+        member_bitmap_from_rows,
+        pack_bits,
+    )
+
+    total = cum[:, -1]
+    rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
+    counts, hit_rows = count_topk(rows, k)
+    L = offs.shape[1]
+    if cap <= 4096:
+        # gather-free MXU path over the already-expanded entries
+        found = member_bitmap_from_rows(rows, seg, hit_rows, L)
+    else:
+        found = member_bitmap(postings, offs, lens, hit_rows, member_iters)
     # rows with count 0 are sentinel padding; their bitmaps must be empty
     found = found & (counts[:, :, None] > 0)
     return counts, hit_rows, cum[:, -1], ids, pack_bits(found)

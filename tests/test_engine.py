@@ -138,6 +138,39 @@ def test_device_position_bitmaps_match_host(synth_db):
         assert got == want
 
 
+def test_member_bitmap_binary_search_matches_host():
+    """ops.count.member_bitmap (the large-cap binary-search path) against
+    the host member_np on random CSR slices."""
+    import jax.numpy as jnp
+    from kaamer_tpu.ops.count import member_bitmap, member_np
+
+    rng = np.random.default_rng(17)
+    n_sets, B, K, L = 50, 6, 8, 16
+    lens_sets = rng.integers(0, 9, size=n_sets)
+    postings = np.sort(rng.integers(0, 200, size=int(lens_sets.sum()))
+                       .astype(np.uint32))
+    # carve per-set sorted slices out of the sorted pool
+    starts = np.zeros(n_sets + 1, dtype=np.int64)
+    np.cumsum(lens_sets, out=starts[1:])
+    ids = rng.integers(0, n_sets, size=(B, L))
+    offs = starts[ids].astype(np.int32)
+    lens = (starts[ids + 1] - starts[ids]).astype(np.int32)
+    hits = rng.integers(0, 200, size=(B, K)).astype(np.uint32)
+    # make some guaranteed members
+    for b in range(B):
+        l = int(rng.integers(0, L))
+        if lens[b, l] > 0:
+            hits[b, 0] = postings[offs[b, l]]
+
+    iters = int(np.ceil(np.log2(int(lens_sets.max()) + 1))) + 1
+    got = np.asarray(member_bitmap(jnp.asarray(postings), jnp.asarray(offs),
+                                   jnp.asarray(lens), jnp.asarray(hits), iters))
+    for b in range(B):
+        want = member_np(postings, offs[b].astype(np.int64),
+                         lens[b].astype(np.int64), hits[b])
+        assert np.array_equal(got[b], want), b
+
+
 def test_queries_with_invalid_residues(synth_db):
     art, oracle, seqs = synth_db
     engine = SearchEngine(art)
