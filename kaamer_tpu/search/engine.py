@@ -410,8 +410,8 @@ def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
     rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
     counts, hit_rows = count_topk(rows, k)
     L = offs.shape[1]
-    if cap <= 4096:
-        # gather-free MXU path over the already-expanded entries
+    if cap * L <= (1 << 17):
+        # gather-free MXU path; the [B, cap, L] bf16 one-hot stays < ~0.5 GB
         found = member_bitmap_from_rows(rows, seg, hit_rows, L)
     else:
         found = member_bitmap(postings, offs, lens, hit_rows, member_iters)
