@@ -100,6 +100,16 @@ def encode_kmers(codes: np.ndarray) -> np.ndarray:
     return (p1 << 23) | (p2 << 14) | (p3 << 5) | last
 
 
+def encode_kmers_batch(codes: np.ndarray) -> np.ndarray:
+    """encode_kmers over a batch: int32[B, L+6] -> uint32[B, L]."""
+    L = codes.shape[1] - KMER_SIZE + 1
+    p1 = _pair_code(codes[:, 0:L], codes[:, 1 : L + 1])
+    p2 = _pair_code(codes[:, 2 : L + 2], codes[:, 3 : L + 3])
+    p3 = _pair_code(codes[:, 4 : L + 4], codes[:, 5 : L + 5])
+    last = _single_code(codes[:, 6 : L + 6])
+    return (p1 << 23) | (p2 << 14) | (p3 << 5) | last
+
+
 def encode_kmer(kmer: str) -> int:
     """Scalar encode of one 7-mer (tests/debug only)."""
     assert len(kmer) == KMER_SIZE

@@ -154,34 +154,67 @@ class ShardedSearchEngine:
         cap = max(self._cap_hint, self.CAP_MIN)
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap * self.n_shards)
         outs = self._run(wire, n_np, cap, k_eff, width)
-        return (outs, wire, n_np, list(seqs), list(sizes), k_eff, cap, width)
+        return (outs, wire, n_np, list(seqs), list(sizes), k, k_eff, cap, width)
 
     def resolve_batch(self, handle):
-        from ..search.engine import QueryCounts, _cap_bucket
+        from ..search.engine import TOPK_MIN, QueryCounts, _cap_bucket, _next_pow2
 
         if handle is None:
             return []
-        (outs, wire, n_np, seqs, sizes, k_eff, cap, width) = handle
+        (outs, wire, n_np, seqs, sizes, k, k_eff, cap, width) = handle
         while True:
             counts, hit_rows, totals = self._jax.device_get(tuple(outs))
             max_total = int(totals.max())
             if max_total <= cap or cap >= self.CAP_MAX:
                 break
             cap = min(_cap_bucket(max_total), self.CAP_MAX)
+            k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap * self.n_shards)
             outs = self._run(wire, n_np, cap, k_eff, width)
         self._cap_hint = min(_cap_bucket(max_total + (max_total >> 4)),
                              self.CAP_MAX)
 
+        overflow = totals > self.CAP_MAX
         slices = _LazyBatchSlices(self, seqs, sizes)
         out = []
         for i, size in enumerate(sizes):
-            c = counts[i]
-            nz = c > 0
-            qc = QueryCounts(hit_rows=hit_rows[i][nz], counts=c[nz],
-                             _engine=self, _batch=slices, _row=i,
-                             _n_kmers=size)
+            if overflow[i]:
+                # exact host fallback for postings-heavy outliers, matching
+                # the single-chip engine (sharded stays bit-identical to it)
+                qc = self._count_host_row(slices, i, size, k_eff)
+            else:
+                c = counts[i]
+                nz = c > 0
+                qc = QueryCounts(hit_rows=hit_rows[i][nz], counts=c[nz],
+                                 _engine=self, _batch=slices, _row=i,
+                                 _n_kmers=size)
             out.append(qc)
         return out
+
+    def _count_host_row(self, slices: "_LazyBatchSlices", i: int,
+                        n_kmers: int, k: int):
+        from ..search.engine import QueryCounts
+
+        ids = slices.host()[i, :n_kmers].astype(np.int64)
+        starts = self.set_starts_np
+        offs = starts[ids]
+        lens = starts[ids + 1] - starts[ids]
+        segs = [self.postings_np[int(o): int(o) + int(l)]
+                for o, l in zip(offs, lens) if l > 0]
+        if segs:
+            rows = np.concatenate(segs)
+            bc = np.bincount(rows)
+            nz = np.flatnonzero(bc)
+            order = np.lexsort((nz, -bc[nz]))[:k]
+            hit_rows = nz[order].astype(np.uint32)
+            counts = bc[hit_rows].astype(np.int32)
+        else:
+            hit_rows = np.empty(0, np.uint32)
+            counts = np.empty(0, np.int32)
+        qc = QueryCounts(hit_rows=hit_rows, counts=counts, _engine=self,
+                         _n_kmers=n_kmers)
+        qc._offs = offs
+        qc._lens = lens
+        return qc
 
     def position_bitmaps(self, qc, hit_rows):
         from ..ops.count import member_np
@@ -219,17 +252,12 @@ class _LazyBatchSlices:
                 )
             n_sets = eng.set_starts_np.size - 2
             L = max(self._sizes) if self._sizes else 1
-            ids = np.full((len(self._seqs), L), n_sets, dtype=np.uint32)
             width = L + KMER_SIZE - 1
             codes = codec.pad_codes_batch(self._seqs, width)
-            for i, size in enumerate(self._sizes):
-                kmers = _encode_row(codes[i], size)
-                ids[i, :size] = lookup_np(eng._ht, kmers, missing=n_sets)
-            self._ids = ids
+            kmers = codec.encode_kmers_batch(codes.astype(np.int32))  # [B, L]
+            ids = lookup_np(eng._ht, kmers.reshape(-1), missing=n_sets)
+            ids = ids.reshape(kmers.shape).astype(np.uint32)
+            lane = np.arange(L)[None, :]
+            sizes = np.asarray(self._sizes)[:, None]
+            self._ids = np.where(lane < sizes, ids, np.uint32(n_sets))
         return self._ids
-
-
-def _encode_row(codes_row: np.ndarray, n: int) -> np.ndarray:
-    from .. import codec
-
-    return codec.encode_kmers(codes_row.astype(np.int32))[:n]

@@ -41,6 +41,14 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length() if n > 1 else 1
 
 
+def _positions_on_device(cap: int, k: int, L: int) -> bool:
+    """Whether the MXU bitmap path fits: both the [B, cap, L] and
+    [B, cap, k] bf16 indicators must stay bounded (< ~0.5 GB at B=2048).
+    Beyond this the lazy host binary-search path wins, since it only
+    touches the few kept hits of gate-passing queries."""
+    return cap * L <= (1 << 17) and cap * k <= (1 << 17)
+
+
 def _cap_bucket(n: int) -> int:
     """Smallest allowed expansion capacity >= n.
 
@@ -145,10 +153,6 @@ class SearchEngine:
         self.primary_log2 = art.hash_primary_log2
         self.secondary_log2 = art.hash_secondary_log2
         self._cap_hint = CAP_MIN
-        max_len = int(starts2[:, 1].max()) if starts2.size else 0
-        self._member_iters = (
-            max(1, int(np.ceil(np.log2(max_len + 1))) + 1) if max_len else 1
-        )
 
         self._fused = jax.jit(
             partial(
@@ -157,7 +161,7 @@ class SearchEngine:
                 primary_log2=self.primary_log2,
                 secondary_log2=self.secondary_log2,
             ),
-            static_argnames=("cap", "k", "width", "positions", "member_iters"),
+            static_argnames=("cap", "k", "width", "positions"),
         )
 
     # ------------------------------------------------------------------
@@ -204,10 +208,11 @@ class SearchEngine:
 
         cap = self._cap_hint
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
+        pos_dev = positions and _positions_on_device(cap, k_eff, L)
         outs = self._fused(
             self.table2, self.set_starts, self.postings,
             codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
-            positions=positions, member_iters=self._member_iters if positions else 0,
+            positions=pos_dev,
         )
         # start the device->host copies NOW so they overlap with later
         # dispatches; resolve_batch's device_get then finds them complete
@@ -232,16 +237,18 @@ class SearchEngine:
                 break
             cap = _cap_bucket(max_total)
             k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
+            # the re-run's larger cap may exceed the device-bitmap bound, in
+            # which case positions fall back to the lazy host path
+            pos_dev = positions and _positions_on_device(cap, k_eff, L)
             outs = self._fused(
                 self.table2, self.set_starts, self.postings,
                 codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
-                positions=positions,
-                member_iters=self._member_iters if positions else 0,
+                positions=pos_dev,
             )
             for arr in (outs[:3] + outs[4:]):
                 arr.copy_to_host_async()
         bitmaps_h = None
-        if positions:
+        if len(outs) > 4:
             # uint8[B, k_eff, L//8] -> bool[B, k_eff, L]
             packed_bm = self._jax.device_get(outs[4])
             bitmaps_h = np.unpackbits(packed_bm, axis=-1, bitorder="little")
@@ -376,16 +383,15 @@ def _phase2_impl(postings, offs, cum, *, cap: int, k: int):
 
 def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
                 n_sets, primary_log2, secondary_log2, cap, k, width=0,
-                positions=False, member_iters=0):
+                positions=False):
     """Single-dispatch search step: unpack + probe + expand + count + rank.
 
     Returns (counts int32[B,k], hit_rows uint32[B,k], totals int32[B],
     ids uint32[B,L][, bitmaps uint8[B,k,L//8]]); ids are returned for lazy
     host-side position lookups.  With positions=True the per-hit k-mer
     position bitmaps (reference StoreMatchPositions, search.go:442-452) are
-    computed on device by batched binary search in the postings slices and
-    shipped back bit-packed, avoiding a separate ids download + host search
-    per batch.
+    computed on device from the expanded postings and shipped back
+    bit-packed, avoiding a separate ids download + host search per batch.
     """
     import jax.numpy as jnp
 
@@ -398,23 +404,16 @@ def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
         counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
         return counts, hit_rows, cum[:, -1], ids
 
-    from ..ops.count import (
-        count_topk,
-        gather_postings,
-        member_bitmap,
-        member_bitmap_from_rows,
-        pack_bits,
-    )
+    from ..ops.count import count_topk, gather_postings, member_bitmap_from_rows, pack_bits
 
     total = cum[:, -1]
     rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
     counts, hit_rows = count_topk(rows, k)
-    L = offs.shape[1]
-    if cap * L <= (1 << 17):
-        # gather-free MXU path; the [B, cap, L] bf16 one-hot stays < ~0.5 GB
-        found = member_bitmap_from_rows(rows, seg, hit_rows, L)
-    else:
-        found = member_bitmap(postings, offs, lens, hit_rows, member_iters)
+    # gather-free MXU path over the already-expanded entries; the caller
+    # (dispatch_batch) only requests device positions while the [B, cap, L]
+    # and [B, cap, k] bf16 indicators stay bounded (_positions_on_device),
+    # falling back to the lazy host bitmaps otherwise
+    found = member_bitmap_from_rows(rows, seg, hit_rows, offs.shape[1])
     # rows with count 0 are sentinel padding; their bitmaps must be empty
     found = found & (counts[:, :, None] > 0)
     return counts, hit_rows, cum[:, -1], ids, pack_bits(found)

@@ -258,7 +258,14 @@ def serve(db_path: str, port: int = 8321, nb_threads: int = 0,
         from ..parallel.dist import ShardedSearchEngine, global_mesh
 
         engine = ShardedSearchEngine(art, mesh=global_mesh(n_shards))
-        print(f"[sharded x{n_shards}] ", end="", flush=True)
+        # global_mesh reduces the shard count to a divisor of the device
+        # count; report what actually happened, not what was asked for
+        if engine.n_shards != n_shards:
+            print(f"[sharded x{engine.n_shards}; {n_shards} requested but "
+                  f"only divisors of the device count are possible] ",
+                  end="", flush=True)
+        else:
+            print(f"[sharded x{engine.n_shards}] ", end="", flush=True)
     else:
         engine = SearchEngine(art)
     print(f"done [{int(time.time() - t0) // 60:02d}m{int(time.time() - t0) % 60:02d}s]")

@@ -52,3 +52,33 @@ def test_sharded_pipeline_matches_single(db, tmp_path):
     sharded_engine = ShardedSearchEngine(art, mesh=global_mesh(4))
     sharded = b"".join(run_search(sharded_engine, opts))
     assert single == sharded
+
+
+def test_sharded_overflow_host_fallback(db, tmp_path):
+    """Queries whose shard-local postings volume exceeds CAP_MAX must route
+    through the exact host bincount and still match the single-chip engine."""
+    art, seqs, _ = db
+    queries = [seqs[2], seqs[9][:60], seqs[30]]
+    sizes = [len(q) - 6 for q in queries]
+
+    single = SearchEngine(art)
+    want = single.count_batch(queries, sizes, k=8)
+
+    eng = ShardedSearchEngine(art, mesh=global_mesh(4))
+    eng.CAP_MAX = 2  # instance override: force every query to overflow
+    eng._cap_hint = 2
+    got = eng.count_batch(queries, sizes, k=8)
+
+    for qw, qg in zip(want, got):
+        assert np.array_equal(qw.hit_rows[:8], qg.hit_rows[:8])
+        assert np.array_equal(qw.counts[:8], qg.counts[:8])
+
+
+def test_encode_kmers_batch_matches_scalar():
+    from kaamer_tpu import codec
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(-1, codec.N_AA, size=(5, 30)).astype(np.int32)
+    batch = codec.encode_kmers_batch(codes)
+    for i in range(codes.shape[0]):
+        assert np.array_equal(batch[i], codec.encode_kmers(codes[i]))
