@@ -307,6 +307,26 @@ class SearchEngine:
         qc._lens = lens
         return qc
 
+    def warmup(self, batch_sizes=(16,), lengths=(64, 128, 256, 512),
+               positions=(False, True)) -> None:
+        """Pre-compile the common interactive shape buckets.
+
+        Remote compiles cost 20-60s each over a tunneled chip, so a server's
+        first odd-shaped query would otherwise stall; run this (typically in
+        a background thread at startup) to populate the in-process and
+        persistent compile caches.  Errors are ignored -- warmup is best
+        effort."""
+        for B in batch_sizes:
+            for L in lengths:
+                for pos in positions:
+                    try:
+                        seq = "A" * min(L + KMER_SIZE - 1, 64)
+                        seqs = [seq] * B
+                        sizes = [len(seq) - KMER_SIZE + 1] * (B - 1) + [L]
+                        self.count_batch(seqs, sizes, k=10, positions=pos)
+                    except Exception:
+                        pass
+
     # ------------------------------------------------------------------
     # Position bitmaps
     # ------------------------------------------------------------------

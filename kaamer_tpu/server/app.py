@@ -279,6 +279,11 @@ def serve(db_path: str, port: int = 8321, nb_threads: int = 0,
     if os.path.isdir(web):
         web_dirs["/web"] = web
 
+    # pre-compile interactive shape buckets in the background so a first
+    # query with a fresh shape doesn't stall on a 20-60s remote compile
+    if hasattr(engine, "warmup"):
+        threading.Thread(target=engine.warmup, daemon=True).start()
+
     handler = make_handler(engine, tmp_folder, web_dirs)
     httpd = ThreadingHTTPServer(("", port), handler)
     print(f" + kaamer-tpu server listening on port {port}")

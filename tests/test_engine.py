@@ -181,3 +181,13 @@ def test_queries_with_invalid_residues(synth_db):
     got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
     want, _ = oracle.kmer_search(q, size)
     assert got == want[: len(got)]
+
+
+def test_warmup_precompiles_without_error(synth_db):
+    art, _, _ = synth_db
+    engine = SearchEngine(art)
+    engine.warmup(batch_sizes=(16,), lengths=(16, 32), positions=(False, True))
+    # engine still functional afterwards
+    q = art.protein(0).Sequence
+    (qc,) = engine.count_batch([q], [len(q) - 6], k=5)
+    assert qc.counts.size > 0
