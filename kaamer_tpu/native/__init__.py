@@ -54,6 +54,11 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64,
             ]
+            lib.kt_pack_queries.restype = ctypes.c_int64
+            lib.kt_pack_queries.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+            ]
             lib.kt_get_orfs.restype = ctypes.c_int64
             lib.kt_get_orfs.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # dna
@@ -108,6 +113,30 @@ def extract_pairs(seq_buf: np.ndarray, offsets: np.ndarray,
         out.ctypes.data, _threads(),
     )
     assert written == total
+    return out
+
+
+def pack_queries(seqs, width: int):
+    """Fused query wire packing: sequences -> uint32[B, ceil(width/7)] in
+    the base-22 7-residues/word format (equivalent of codec.pad_codes_batch
+    + codec.pack_codes7, the dominant serial host cost per dispatched
+    batch).  Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    B = len(seqs)
+    n_words = -(-width // 7)
+    buf = "".join(seqs).encode("latin-1")
+    seq_buf = np.frombuffer(buf, dtype=np.uint8)
+    offsets = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(s) for s in seqs), count=B, dtype=np.int64),
+              out=offsets[1:])
+    out = np.empty((B, n_words), dtype=np.uint32)
+    written = lib.kt_pack_queries(
+        seq_buf.ctypes.data if seq_buf.size else 0, offsets.ctypes.data,
+        B, width, out.ctypes.data, _threads(),
+    )
+    assert written == B * n_words
     return out
 
 

@@ -90,6 +90,54 @@ int64_t kt_extract_pairs(const uint8_t* seqs, const int64_t* offsets,
     return out_off[n_seqs];
 }
 
+// Pack query sequences straight into the base-22 uint32 wire format
+// (7 residues/word, MSB-first, pad code 21) -- the fused equivalent of
+// codec.pad_codes_batch + codec.pack_codes7, which together are the largest
+// serial host cost per dispatched batch.  out must hold
+// n_seqs * ceil(width/7) words.  Returns the number of words written.
+int64_t kt_pack_queries(const uint8_t* seqs, const int64_t* offsets,
+                        int64_t n_seqs, int64_t width, uint32_t* out,
+                        int n_threads) {
+    init_codes();
+    if (n_threads < 1) n_threads = 1;
+    int64_t n_words = (width + 6) / 7;
+
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            const uint8_t* s = seqs + offsets[i];
+            int64_t len = offsets[i + 1] - offsets[i];
+            if (len > width) len = width;
+            uint32_t* dst = out + i * n_words;
+            int64_t p = 0;
+            for (int64_t w = 0; w < n_words; w++) {
+                uint32_t v = 0;
+                for (int t = 0; t < 7; t++, p++) {
+                    int code = 21;
+                    if (p < len) {
+                        int8_t c = CHAR_CODE[s[p]];
+                        if (c >= 0) code = c;
+                    }
+                    v = v * 22u + (uint32_t)code;
+                }
+                dst[w] = v;
+            }
+        }
+    };
+
+    if (n_threads == 1 || n_seqs < 256) {
+        worker(0, n_seqs);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (n_seqs + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; t++) {
+            int64_t lo = t * chunk, hi = std::min(n_seqs, lo + chunk);
+            if (lo < hi) ts.emplace_back(worker, lo, hi);
+        }
+        for (auto& t : ts) t.join();
+    }
+    return n_seqs * n_words;
+}
+
 // Parallel LSD radix sort of uint64 (8 passes of 8 bits).
 void kt_sort_u64(uint64_t* data, int64_t n, int n_threads) {
     if (n <= 1) return;

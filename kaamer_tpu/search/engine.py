@@ -197,13 +197,19 @@ class SearchEngine:
         if B != B_real:
             seqs = list(seqs) + [""] * (B - B_real)
         L = _next_pow2(max(max(sizes), 8))
-        codes = codec.pad_codes_batch(seqs, L + KMER_SIZE - 1)
+        width = L + KMER_SIZE - 1
         n_kmers = np.zeros(B, dtype=np.int32)
         n_kmers[:B_real] = sizes
 
         # the host->device link is the throughput bottleneck: ship 7 residues
-        # per uint32 (4.57 bits/residue) and unpack on device
-        codes_dev = jnp.asarray(codec.pack_codes7(codes))
+        # per uint32 (4.57 bits/residue) and unpack on device; the native
+        # packer fuses padding + base-22 packing in one multithreaded pass
+        from .. import native
+
+        wire = native.pack_queries(seqs, width)
+        if wire is None:
+            wire = codec.pack_codes7(codec.pad_codes_batch(seqs, width))
+        codes_dev = jnp.asarray(wire)
         n_dev = jnp.asarray(n_kmers)
 
         cap = self._cap_hint

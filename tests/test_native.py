@@ -65,3 +65,22 @@ def test_build_uses_native_and_matches(lib_available, tmp_path):
     build_db(str(tmp_path / "db"), str(fa), "fasta")
     art = load_db(str(tmp_path / "db"))
     assert art.stats.NumberOfProteins == 50
+
+
+def test_pack_queries_matches_python_path():
+    """kt_pack_queries must reproduce pad_codes_batch + pack_codes7 exactly,
+    including invalid characters, clipping, and empty sequences."""
+    from kaamer_tpu import codec, native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(4)
+    aa = list("ACDEFGHIKLMNPQRSTUVWYxz*-")
+    for width in (7, 8, 62, 64, 262):
+        seqs = ["".join(rng.choice(aa, size=int(rng.integers(0, width + 30))))
+                for _ in range(17)] + [""]
+        want = codec.pack_codes7(codec.pad_codes_batch(seqs, width))
+        got = native.pack_queries(seqs, width)
+        assert np.array_equal(got, want), width
