@@ -94,7 +94,11 @@ def count_topk(rows, k: int):
 
 
 def member_bitmap(postings, offs, lens, hits, iters: int):
-    """Device-side position bitmaps: for each query b, hit k, and k-mer
+    """UNUSED ALTERNATIVE kept for reference/testing; production uses
+    member_bitmap_from_rows (MXU one-hot matmul), which measured faster at
+    serving caps and is independent of the longest postings list.
+
+    Device-side position bitmaps: for each query b, hit k, and k-mer
     position l, whether hit row hits[b,k] is in the postings slice
     postings[offs[b,l] : offs[b,l]+lens[b,l]] (slices are sorted ascending).
 

@@ -180,11 +180,17 @@ class SearchEngine:
                                                       positions=positions))
 
     def dispatch_batch(self, seqs: Sequence[str], sizes: Sequence[int], k: int,
-                       positions: bool = False):
+                       positions: bool = False, cap: int = 0,
+                       adapt_hint: bool = True):
         """Asynchronously dispatch one batch to the device; returns a handle
         for resolve_batch.  JAX dispatch is async, so several batches can be
         in flight, overlapping upload/compute/fetch across batches (the
-        analogue of the reference's pipelined worker pools)."""
+        analogue of the reference's pipelined worker pools).
+
+        cap/adapt_hint are for warmup: a warmup batch pins its expansion
+        capacity explicitly (so the intended shape bucket actually compiles)
+        and must not feed its junk postings volume back into the adaptive
+        hint that live traffic shares (adapt_hint=False)."""
         import jax.numpy as jnp
 
         B_real = len(seqs)
@@ -212,7 +218,7 @@ class SearchEngine:
         codes_dev = jnp.asarray(wire)
         n_dev = jnp.asarray(n_kmers)
 
-        cap = self._cap_hint
+        cap = cap or self._cap_hint
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
         pos_dev = positions and _positions_on_device(cap, k_eff, L)
         outs = self._fused(
@@ -225,34 +231,34 @@ class SearchEngine:
         # (the link adds ~30ms RTT per blocking fetch otherwise)
         for arr in (outs[:3] + outs[4:]):
             arr.copy_to_host_async()
-        return (outs, codes_dev, n_dev, list(sizes), k, cap, k_eff, L, positions)
+        return (outs, wire, list(sizes), k, cap, k_eff, L,
+                positions, adapt_hint)
+
+    # Sub-batch size for overflow re-runs.  Overflowing queries are re-run
+    # in fixed chunks of RERUN_B at the cap THEY need, so peak device memory
+    # is bounded by RERUN_B * CAP_MAX elements (~134 MB of uint32 rows)
+    # instead of the whole batch's B * CAP_MAX (16 GB at B=2048 -- over
+    # v5e HBM).  Fixed size also keeps the compiled-shape set small.
+    RERUN_B = 16
 
     def resolve_batch(self, handle) -> List[QueryCounts]:
-        """Block on a dispatched batch and finalize per-query results,
-        re-running at a larger expansion capacity if the batch overflowed."""
+        """Block on a dispatched batch and finalize per-query results.
+
+        Queries whose postings volume exceeded the batch's expansion cap are
+        re-run selectively: `totals` is exact regardless of cap (phase 1
+        computes it from the slice lengths), and results of queries with
+        total <= cap are already exact, so only the overflowing rows are
+        re-dispatched, in RERUN_B-sized sub-batches at their own cap bucket.
+        Beyond CAP_MAX a query falls back to an unbounded host bincount."""
         if handle is None:
             return []
-        (outs, codes_dev, n_dev, sizes, k, cap, k_eff, L, positions) = handle
-        while True:
-            counts, hit_rows, totals, ids = outs[:4]
-            counts_h, hits_h, totals_h = self._jax.device_get(
-                (counts, hit_rows, totals)
-            )
-            max_total = int(totals_h.max())
-            if max_total <= cap or cap >= CAP_MAX:
-                break
-            cap = _cap_bucket(max_total)
-            k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
-            # the re-run's larger cap may exceed the device-bitmap bound, in
-            # which case positions fall back to the lazy host path
-            pos_dev = positions and _positions_on_device(cap, k_eff, L)
-            outs = self._fused(
-                self.table2, self.set_starts, self.postings,
-                codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
-                positions=pos_dev,
-            )
-            for arr in (outs[:3] + outs[4:]):
-                arr.copy_to_host_async()
+        (outs, wire, sizes, k, cap, k_eff, L, positions,
+         adapt_hint) = handle
+        counts, hit_rows, totals, ids = outs[:4]
+        counts_h, hits_h, totals_h = self._jax.device_get(
+            (counts, hit_rows, totals)
+        )
+        max_total = int(totals_h.max())
         bitmaps_h = None
         if len(outs) > 4:
             # uint8[B, k_eff, L//8] -> bool[B, k_eff, L]
@@ -260,17 +266,26 @@ class SearchEngine:
             bitmaps_h = np.unpackbits(packed_bm, axis=-1, bitorder="little")
         # adapt the starting bucket toward observed volume, with 1/16 slack
         # so batches hovering at a bucket edge don't oscillate into re-runs
-        self._cap_hint = _cap_bucket(max_total + (max_total >> 4))
-
-        overflow = totals_h > CAP_MAX
-        # top_k counts are descending, so nonzero entries form a prefix
-        nnz = (counts_h > 0).sum(axis=1)
+        # (warmup batches are excluded: their junk volume would reset a live
+        # workload's adapted cap and force re-runs on the next real batch)
+        if adapt_hint:
+            self._cap_hint = _cap_bucket(max_total + (max_total >> 4))
 
         batch_ids = _BatchIds(ids)
+        over_idx = [i for i in range(len(sizes)) if int(totals_h[i]) > cap]
+        rerun = (
+            self._rerun_overflow(wire, sizes, over_idx, totals_h, batch_ids,
+                                 k, L, positions)
+            if over_idx
+            else {}
+        )
+
+        # top_k counts are descending, so nonzero entries form a prefix
+        nnz = (counts_h > 0).sum(axis=1)
         out: List[QueryCounts] = []
         for i in range(len(sizes)):
-            if overflow[i]:
-                qc = self._count_host_row(batch_ids, i, sizes[i], k_eff)
+            if i in rerun:
+                qc = rerun[i]
             else:
                 m = int(nnz[i])
                 qc = QueryCounts(
@@ -284,6 +299,56 @@ class SearchEngine:
                 if bitmaps_h is not None:
                     qc._bitmaps = bitmaps_h[i]
             out.append(qc)
+        return out
+
+    def _rerun_overflow(
+        self, wire: np.ndarray, sizes: Sequence[int], over_idx: List[int],
+        totals_h: np.ndarray, batch_ids: "_BatchIds", k: int, L: int,
+        positions: bool,
+    ) -> Dict[int, QueryCounts]:
+        """Re-run overflowing queries in RERUN_B-sized sub-batches, each at
+        the cap bucket its chunk needs (queries are grouped by total so a
+        chunk's cap fits its worst member)."""
+        import jax.numpy as jnp
+
+        out: Dict[int, QueryCounts] = {}
+        k_full = _next_pow2(max(k, TOPK_MIN))
+        dev_rows = []
+        for i in over_idx:
+            if int(totals_h[i]) > CAP_MAX:
+                out[i] = self._count_host_row(batch_ids, i, sizes[i], k_full)
+            else:
+                dev_rows.append(i)
+        dev_rows.sort(key=lambda i: int(totals_h[i]))
+        for c0 in range(0, len(dev_rows), self.RERUN_B):
+            chunk = dev_rows[c0 : c0 + self.RERUN_B]
+            cap2 = _cap_bucket(max(int(totals_h[i]) for i in chunk))
+            k2 = min(k_full, cap2)
+            wire2 = np.zeros((self.RERUN_B,) + wire.shape[1:], wire.dtype)
+            n2 = np.zeros(self.RERUN_B, dtype=np.int32)
+            for j, i in enumerate(chunk):
+                wire2[j] = wire[i]
+                n2[j] = sizes[i]
+            pos_dev = positions and _positions_on_device(cap2, k2, L)
+            outs = self._fused(
+                self.table2, self.set_starts, self.postings,
+                jnp.asarray(wire2), jnp.asarray(n2),
+                cap=cap2, k=k2, width=L + KMER_SIZE - 1, positions=pos_dev,
+            )
+            ch, hh = self._jax.device_get((outs[0], outs[1]))
+            bm = None
+            if len(outs) > 4:
+                bm = np.unpackbits(self._jax.device_get(outs[4]), axis=-1,
+                                   bitorder="little")
+            for j, i in enumerate(chunk):
+                m = int((ch[j] > 0).sum())
+                qc = QueryCounts(
+                    hit_rows=hh[j][:m], counts=ch[j][:m], _engine=self,
+                    _batch=batch_ids, _row=i, _n_kmers=sizes[i],
+                )
+                if bm is not None:
+                    qc._bitmaps = bm[j]
+                out[i] = qc
         return out
 
     def _count_host_row(self, batch_ids: "_BatchIds", i: int, n_kmers: int, k: int) -> QueryCounts:
@@ -313,25 +378,31 @@ class SearchEngine:
         qc._lens = lens
         return qc
 
-    def warmup(self, batch_sizes=(16,), lengths=(64, 128, 256, 512),
-               positions=(False, True)) -> None:
-        """Pre-compile the common interactive shape buckets.
+    def warmup(self, batch_sizes=(16, 2048), lengths=(64, 128, 256, 512),
+               positions=(False, True), caps=(CAP_MIN,)) -> None:
+        """Pre-compile the common shape buckets: interactive (B=16) and the
+        bulk pipeline's BATCH_MAX=2048, across the small expansion-cap grid.
 
         Remote compiles cost 20-60s each over a tunneled chip, so a server's
         first odd-shaped query would otherwise stall; run this (typically in
         a background thread at startup) to populate the in-process and
-        persistent compile caches.  Errors are ignored -- warmup is best
-        effort."""
+        persistent compile caches.  Warmup batches pin their cap and never
+        touch the adaptive cap hint (adapt_hint=False), so a concurrent live
+        workload's adaptation is unaffected.  Errors are ignored -- warmup
+        is best effort."""
         for B in batch_sizes:
             for L in lengths:
                 for pos in positions:
-                    try:
-                        seq = "A" * min(L + KMER_SIZE - 1, 64)
-                        seqs = [seq] * B
-                        sizes = [len(seq) - KMER_SIZE + 1] * (B - 1) + [L]
-                        self.count_batch(seqs, sizes, k=10, positions=pos)
-                    except Exception:
-                        pass
+                    for capv in caps:
+                        try:
+                            seq = "A" * min(L + KMER_SIZE - 1, 64)
+                            seqs = [seq] * B
+                            sizes = [len(seq) - KMER_SIZE + 1] * (B - 1) + [L]
+                            self.resolve_batch(self.dispatch_batch(
+                                seqs, sizes, k=10, positions=pos,
+                                cap=capv, adapt_hint=False))
+                        except Exception:
+                            pass
 
     # ------------------------------------------------------------------
     # Position bitmaps
@@ -348,11 +419,21 @@ class SearchEngine:
         if qc._bitmaps is not None:
             idx = {int(r): j for j, r in enumerate(qc.hit_rows)}
             n = qc._n_kmers
-            return {
+            out = {
                 int(h): qc._bitmaps[idx[int(h)], :n].astype(bool).tolist()
                 for h in hit_rows
                 if int(h) in idx
             }
+            # requested rows outside the device top-k (callers today only
+            # pass subsets of hit_rows, but the host path below answers
+            # arbitrary rows -- keep both paths' contracts identical)
+            rest = [h for h in hit_rows if int(h) not in idx]
+            if rest:
+                out.update(self._host_bitmaps(qc, rest))
+            return out
+        return self._host_bitmaps(qc, hit_rows)
+
+    def _host_bitmaps(self, qc: QueryCounts, hit_rows) -> Dict[int, List[bool]]:
         from ..ops.count import member_np
 
         hits = np.asarray(list(hit_rows), dtype=np.uint32)

@@ -183,6 +183,116 @@ def test_queries_with_invalid_residues(synth_db):
     assert got == want[: len(got)]
 
 
+@pytest.fixture(scope="module")
+def heavy_db(tmp_path_factory):
+    """DB with a hot shared segment: ~400 proteins share a 26-mer, so each
+    of its 20 7-mers has ~400 postings and any query containing the segment
+    overflows the CAP_MIN=256 expansion bucket (total ~8000)."""
+    rng = np.random.default_rng(99)
+    shared = "".join(rng.choice(list(AA), size=26))
+    seqs = []
+    for i in range(400):
+        pre = "".join(rng.choice(list(AA), size=int(rng.integers(10, 30))))
+        post = "".join(rng.choice(list(AA), size=int(rng.integers(10, 30))))
+        seqs.append(pre + shared + post)
+    for i in range(50):  # plus background proteins with no shared segment
+        seqs.append("".join(rng.choice(list(AA), size=60)))
+
+    tmp = tmp_path_factory.mktemp("heavy")
+    fasta = str(tmp / "in.fasta")
+    dbdir = str(tmp / "db")
+    _write_fasta(fasta, seqs)
+    build_db(dbdir, fasta, "fasta")
+    art = load_db(dbdir)
+    oracle = OracleDB(
+        [(int(art.protein_ids[i]), art.protein(i)) for i in range(art.num_proteins)]
+    )
+    return art, oracle, seqs, shared
+
+
+def test_overflow_rerun_is_selective_and_exact(heavy_db):
+    """A batch mixing cap-overflowing queries (shared hot segment) with
+    normal ones must resolve both exactly; only the overflowing rows are
+    re-dispatched (engine re-run path, bounded at RERUN_B * cap)."""
+    art, oracle, seqs, shared = heavy_db
+    engine = SearchEngine(art)
+    assert engine._cap_hint == 256
+
+    heavy_q = seqs[0]          # contains the hot segment -> total ~8000
+    light_q = seqs[-1][:40]    # background query, total << 256
+    queries = [heavy_q, light_q, seqs[5], seqs[-2][:30]]
+    sizes = [len(q) - 6 for q in queries]
+
+    calls = []
+    orig = engine._fused
+
+    def counting_fused(*a, **kw):
+        calls.append((a[3].shape[0], kw["cap"]))
+        return orig(*a, **kw)
+
+    engine._fused = counting_fused
+    res = engine.count_batch(queries, sizes, k=10)
+    engine._fused = orig
+
+    # first call at the full padded batch (B=16) with cap 256; re-runs only
+    # at RERUN_B with a larger cap
+    assert calls[0][1] == 256
+    for B, cap in calls[1:]:
+        assert B == SearchEngine.RERUN_B and cap > 256
+
+    ext = np.asarray(art.protein_ids)
+    for q, size, qc in zip(queries, sizes, res):
+        got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+        want, _ = oracle.kmer_search(q, size)
+        assert got == want[: len(got)], q[:20]
+
+
+def test_overflow_rerun_positions_match_host(heavy_db):
+    """Position bitmaps of re-run (overflowed) queries equal the host path."""
+    art, oracle, seqs, shared = heavy_db
+    engine = SearchEngine(art)
+    q = seqs[1]
+    size = len(q) - 6
+    (qc_pos,) = engine.count_batch([q], [size], k=10, positions=True)
+    engine2 = SearchEngine(art)
+    (qc,) = engine2.count_batch([q], [size], k=10)
+    rows = [int(r) for r in qc.hit_rows[:5]]
+    assert engine.position_bitmaps(qc_pos, rows) == engine2.position_bitmaps(qc, rows)
+
+
+def test_overflow_beyond_cap_max_host_fallback(heavy_db, monkeypatch):
+    """totals > CAP_MAX falls back to the exact host bincount."""
+    import kaamer_tpu.search.engine as eng_mod
+
+    art, oracle, seqs, shared = heavy_db
+    engine = SearchEngine(art)
+    monkeypatch.setattr(eng_mod, "CAP_MAX", 1024)
+    q = seqs[2]
+    size = len(q) - 6
+    (qc,) = engine.count_batch([q], [size], k=10)
+    ext = np.asarray(art.protein_ids)
+    got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+    want, _ = oracle.kmer_search(q, size)
+    assert got == want[: len(got)]
+    # host-fallback QueryCounts still answer position lookups
+    rows = [int(r) for r in qc.hit_rows[:3]]
+    bms = engine.position_bitmaps(qc, rows)
+    want_rows, want_pos = oracle.kmer_search(q, size)
+    for r in rows:
+        assert bms[r] == want_pos[int(ext[r])]
+
+
+def test_warmup_does_not_touch_cap_hint(heavy_db):
+    art, _, seqs, _ = heavy_db
+    engine = SearchEngine(art)
+    # adapt the hint upward with a heavy batch
+    engine.count_batch([seqs[0]], [len(seqs[0]) - 6], k=10)
+    adapted = engine._cap_hint
+    assert adapted > 256
+    engine.warmup(batch_sizes=(16,), lengths=(16,), positions=(False,))
+    assert engine._cap_hint == adapted
+
+
 def test_warmup_precompiles_without_error(synth_db):
     art, _, _ = synth_db
     engine = SearchEngine(art)
