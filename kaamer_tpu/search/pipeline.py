@@ -46,9 +46,15 @@ KMER_SIZE = 7
 BATCH_MAX = 2048
 
 
-def run_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[bytes]:
+def run_search(engine: SearchEngine, opts: SearchOptions,
+               cancel=None) -> Iterator[bytes]:
     """Full response stream: header, rows, epilogue.  The byte layout matches
-    the reference HTTP writer (search.go:612-692)."""
+    the reference HTTP writer (search.go:612-692).
+
+    cancel: optional zero-arg callable polled between device batches; when
+    it returns True the pipeline stops reading queries and dispatching work
+    (the reference polls the request context every 3s mid-search,
+    search.go:157-166)."""
     db_stats = engine.art.stats
 
     if opts.OutFormat == "tsv":
@@ -57,7 +63,7 @@ def run_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[bytes]:
         yield fmt.json_prologue(opts, db_stats).encode()
 
     first = True
-    for qr in iter_query_results(engine, opts):
+    for qr in iter_query_results(engine, opts, cancel=cancel):
         if opts.Align:
             _align_hits(engine, qr, opts)
         if opts.OutFormat == "json":
@@ -75,13 +81,14 @@ def run_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[bytes]:
         yield fmt.JSON_EPILOGUE.encode()
 
 
-def iter_query_results(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryResult]:
+def iter_query_results(engine: SearchEngine, opts: SearchOptions,
+                       cancel=None) -> Iterator[QueryResult]:
     if opts.SequenceType == PROTEIN:
-        yield from protein_search(engine, opts)
+        yield from protein_search(engine, opts, cancel=cancel)
     elif opts.SequenceType == NUCLEOTIDE:
-        yield from nucleotide_search(engine, opts, fastq=False)
+        yield from nucleotide_search(engine, opts, fastq=False, cancel=cancel)
     else:
-        yield from nucleotide_search(engine, opts, fastq=True)
+        yield from nucleotide_search(engine, opts, fastq=True, cancel=cancel)
 
 
 # ---------------------------------------------------------------------------
@@ -106,13 +113,22 @@ def _batched(queries: Iterator[QueryRecord]) -> Iterator[List[QueryRecord]]:
 
 
 def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
-               positions: bool = False):
+               positions: bool = False, cancel=None):
     """Keep `depth` batches in flight on the device while finalizing earlier
-    ones on the host (overlaps upload/compute/fetch)."""
+    ones on the host (overlaps upload/compute/fetch).
+
+    cancel (optional callable) is polled before each dispatch; once true, no
+    further queries are read or dispatched and in-flight batches are drained
+    without yielding -- the serving analogue of the reference's cancelQuery
+    flag checked by its readers and workers (search.go:157-166, 280-282)."""
     from collections import deque
 
     pending = deque()
+    cancelled = False
     for batch in batches:
+        if cancel is not None and cancel():
+            cancelled = True
+            break
         handle = engine.dispatch_batch(
             [q.Sequence for q in batch], [q.SizeInKmer for q in batch], k=k,
             positions=positions,
@@ -123,10 +139,13 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
             yield b, engine.resolve_batch(h)
     while pending:
         b, h = pending.popleft()
-        yield b, engine.resolve_batch(h)
+        res = engine.resolve_batch(h)
+        if not cancelled:
+            yield b, res
 
 
-def protein_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryResult]:
+def protein_search(engine: SearchEngine, opts: SearchOptions,
+                   cancel=None) -> Iterator[QueryResult]:
     def queries():
         for q in read_fasta_queries(opts.File, is_protein=True):
             q.Type = PROTEIN_QUERY
@@ -138,7 +157,8 @@ def protein_search(engine: SearchEngine, opts: SearchOptions) -> Iterator[QueryR
 
     k = max(opts.MaxResults, 1)
     for batch, counts in _pipelined(engine, _batched(queries()), k,
-                                    positions=opts.ExtractPositions):
+                                    positions=opts.ExtractPositions,
+                                    cancel=cancel):
         for q, qc in zip(batch, counts):
             qr = _build_result(engine, q, qc, opts,
                                need_positions=opts.ExtractPositions)
@@ -187,7 +207,7 @@ def _fetch_entries(engine: SearchEngine, qr: QueryResult) -> None:
 
 
 def nucleotide_search(
-    engine: SearchEngine, opts: SearchOptions, fastq: bool
+    engine: SearchEngine, opts: SearchOptions, fastq: bool, cancel=None
 ) -> Iterator[QueryResult]:
     if fastq:
         records = read_fastq_queries(opts.File)
@@ -245,7 +265,7 @@ def nucleotide_search(
 
     k = max(opts.MaxResults, 1)
     for batch, counts in _pipelined(engine, _batched(orf_queries()), k,
-                                    positions=True):
+                                    positions=True, cancel=cancel):
         for q, qc in zip(batch, counts):
             if qc.counts.size == 0 or int(qc.counts[0]) < opts.MinKMatch:
                 continue  # top-hit gate (search_nucleotide.go:116)

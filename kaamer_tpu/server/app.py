@@ -23,6 +23,8 @@ import email.parser
 import email.policy
 import json
 import os
+import select
+import socket
 import socketserver
 import tempfile
 import threading
@@ -127,6 +129,26 @@ def parse_search_options(
     return None
 
 
+def _disconnect_poller(conn: socket.socket):
+    """Zero-timeout liveness check on the client socket: after the request
+    body is consumed, the connection becoming readable with EOF (or an
+    error) means the client went away.  The pipeline polls this between
+    device batches -- the reference instead polls the request context every
+    3 seconds during a search (search.go:157-166); per-batch polling reacts
+    faster at negligible cost (one select syscall per batch)."""
+
+    def cancelled() -> bool:
+        try:
+            r, _, _ = select.select([conn], [], [], 0)
+            if r:
+                return conn.recv(1, socket.MSG_PEEK) == b""
+        except (OSError, ValueError):
+            return True
+        return False
+
+    return cancelled
+
+
 def _default_options(seq_type: int) -> SearchOptions:
     return SearchOptions(
         GeneticCode=11,
@@ -221,16 +243,19 @@ def make_handler(engine: SearchEngine, tmp_folder: str, web_dirs: dict):
             self.send_header("Content-Type", ctype)
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            cancel = _disconnect_poller(self.connection)
             try:
-                for chunk in run_search(engine, opts):
+                # cancel stops the pipeline from reading/dispatching further
+                # batches once the client disconnects, even between writes
+                # (the reference's cancelQuery flag, search.go:157-166)
+                for chunk in run_search(engine, opts, cancel=cancel):
                     if chunk:
                         self.wfile.write(b"%x\r\n" % len(chunk))
                         self.wfile.write(chunk)
                         self.wfile.write(b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
             except (BrokenPipeError, ConnectionResetError):
-                pass  # client cancelled -- analogous to the reference's
-                      # cancelQuery polling (search.go:157-166)
+                pass  # client cancelled mid-write
             finally:
                 if opts.InputType != "path" and opts.File:
                     try:

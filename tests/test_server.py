@@ -157,6 +157,78 @@ def test_missing_type_is_400(server):
         assert e.code == 400
 
 
+def test_disconnect_poller_detects_eof():
+    import socket as sk
+
+    from kaamer_tpu.server.app import _disconnect_poller
+
+    a, b = sk.socketpair()
+    try:
+        cancelled = _disconnect_poller(a)
+        assert cancelled() is False          # peer alive, nothing to read
+        b.close()
+        assert cancelled() is True           # peer gone -> EOF readable
+    finally:
+        a.close()
+
+
+def test_mid_search_cancellation_stops_dispatching(server, tmp_path, monkeypatch):
+    """Dropping the client mid-stream must stop the engine from consuming
+    further batches (reference: cancelQuery polling, search.go:157-166)."""
+    import socket as sk
+    import time
+
+    import kaamer_tpu.search.pipeline as pl
+
+    url, seqs, tmp = server
+    engine = SearchEngine(load_db(str(tmp / "db")))
+    calls = {"dispatch": 0}
+    orig_dispatch = engine.dispatch_batch
+    orig_resolve = engine.resolve_batch
+
+    def counting_dispatch(*a, **kw):
+        calls["dispatch"] += 1
+        return orig_dispatch(*a, **kw)
+
+    def slow_resolve(h):
+        time.sleep(0.15)  # stretch the search so the disconnect lands mid-run
+        return orig_resolve(h)
+
+    engine.dispatch_batch = counting_dispatch
+    engine.resolve_batch = slow_resolve
+    monkeypatch.setattr(pl, "BATCH_MAX", 2)  # 64 queries -> 32 batches
+
+    handler = make_handler(engine, str(tmp_path), {})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = "".join(f">q{i}\n{seqs[i % len(seqs)]}\n" for i in range(64))
+        payload = urllib.parse.urlencode(
+            {"type": "string", "sequence": body, "max-results": "1"}
+        ).encode()
+        s = sk.create_connection(("127.0.0.1", httpd.server_address[1]))
+        s.sendall(
+            b"POST /api/search/protein HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/x-www-form-urlencoded\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload) + payload
+        )
+        s.recv(256)  # response started streaming
+        s.close()    # drop the connection mid-search
+
+        # dispatching must stop well short of the 32 batches
+        deadline = time.time() + 20
+        last = -1
+        while time.time() < deadline:
+            time.sleep(0.4)
+            if calls["dispatch"] == last:
+                break  # plateaued
+            last = calls["dispatch"]
+        assert calls["dispatch"] < 20, calls
+    finally:
+        httpd.shutdown()
+
+
 def test_client_file_upload(server, tmp_path, capsys):
     url, seqs, _ = server
     qf = tmp_path / "q.fasta"
