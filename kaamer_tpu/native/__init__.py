@@ -67,6 +67,7 @@ def _load():
                 ctypes.c_void_p,                                   # meta
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,  # alts out
                 ctypes.c_int64,                                    # max_orfs
+                ctypes.c_int,                                      # n_threads
             ]
             _lib = lib
         except (OSError, subprocess.CalledProcessError):
@@ -149,8 +150,11 @@ def sort_u64(arr: np.ndarray) -> np.ndarray:
 
 
 def get_orfs_raw(dna_buf: np.ndarray, dna_off: np.ndarray,
-                 aa: np.ndarray, start: np.ndarray, stop: np.ndarray):
-    """Six-frame ORF scan over concatenated DNA sequences (kt_get_orfs).
+                 aa: np.ndarray, start: np.ndarray, stop: np.ndarray,
+                 n_threads: int = 0):
+    """Six-frame ORF scan over concatenated DNA sequences (kt_get_orfs),
+    multithreaded over contiguous sequence slices (bit-identical to the
+    single-threaded scan; tests/test_orf.py enforces it).
 
     dna_buf: uint8[total]; dna_off: int64[n+1]; aa/start/stop: the 65-entry
     tables from gcode.translation_arrays.  Returns (seq_buf, seq_off, meta,
@@ -182,7 +186,7 @@ def get_orfs_raw(dna_buf: np.ndarray, dna_off: np.ndarray,
         seq_buf.ctypes.data, seq_cap, seq_off.ctypes.data,
         meta.ctypes.data,
         alts_buf.ctypes.data, alts_cap, alts_off.ctypes.data,
-        max_orfs,
+        max_orfs, n_threads or _threads(),
     )
     assert n >= 0, "kt_get_orfs capacity overflow (bounds are analytic)"
     return (seq_buf, seq_off[: n + 1], meta[:n], alts_buf, alts_off[: n + 1])

@@ -264,10 +264,16 @@ int64_t kt_parse_fasta(const uint8_t* input, int64_t input_len,
 // rows (read_idx, StartPosition, EndPosition, PlusStrand), and concatenated
 // StartsAlternative lists with alts_off.  Returns the ORF count, or -1 if
 // any capacity (seq_cap, alts_cap, max_orfs) would be exceeded.
+//
+// kt_get_orfs runs scan_orfs_range over [0, n_seqs) either directly
+// (n_threads <= 1 or small batches) or as contiguous sequence slices on
+// n_threads threads writing per-thread buffers that are stitched in slice
+// order -- output is bit-identical to the single-threaded scan.
 // ---------------------------------------------------------------------------
 
-int64_t kt_get_orfs(const uint8_t* dna_buf, const int64_t* dna_off,
-                    int64_t n_seqs, const uint8_t* aa_tab,
+static int64_t scan_orfs_range(
+                    const uint8_t* dna_buf, const int64_t* dna_off,
+                    int64_t r_begin, int64_t r_end, const uint8_t* aa_tab,
                     const uint8_t* start_tab, const uint8_t* stop_tab,
                     uint8_t* seq_buf, int64_t seq_cap, int64_t* seq_off,
                     int32_t* meta, int32_t* alts_buf, int64_t alts_cap,
@@ -288,7 +294,7 @@ int64_t kt_get_orfs(const uint8_t* dna_buf, const int64_t* dna_off,
     std::vector<uint8_t> rc;      // reverse complement scratch
     std::vector<int64_t> order;   // per-read ORF sort scratch
 
-    for (int64_t r = 0; r < n_seqs; r++) {
+    for (int64_t r = r_begin; r < r_end; r++) {
         const uint8_t* dna = dna_buf + dna_off[r];
         int64_t n = dna_off[r + 1] - dna_off[r];
         rc.resize(n);
@@ -425,6 +431,89 @@ int64_t kt_get_orfs(const uint8_t* dna_buf, const int64_t* dna_off,
                 alts_off[first_orf + k] = a_base + ao2[k];
             }
         }
+    }
+    return n_orfs;
+}
+
+int64_t kt_get_orfs(const uint8_t* dna_buf, const int64_t* dna_off,
+                    int64_t n_seqs, const uint8_t* aa_tab,
+                    const uint8_t* start_tab, const uint8_t* stop_tab,
+                    uint8_t* seq_buf, int64_t seq_cap, int64_t* seq_off,
+                    int32_t* meta, int32_t* alts_buf, int64_t alts_cap,
+                    int64_t* alts_off, int64_t max_orfs, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1 || n_seqs < 256) {
+        return scan_orfs_range(dna_buf, dna_off, 0, n_seqs, aa_tab, start_tab,
+                               stop_tab, seq_buf, seq_cap, seq_off, meta,
+                               alts_buf, alts_cap, alts_off, max_orfs);
+    }
+
+    // contiguous sequence slices; per-thread output buffers sized by the
+    // same analytic bounds the Python wrapper uses, applied to slice bases
+    int T = n_threads;
+    std::vector<int64_t> bounds(T + 1);
+    for (int t = 0; t <= T; t++)
+        bounds[t] = n_seqs * t / T;
+
+    struct Slice {
+        std::vector<uint8_t> seq;
+        std::vector<int64_t> soff;
+        std::vector<int32_t> meta;
+        std::vector<int32_t> alts;
+        std::vector<int64_t> aoff;
+        int64_t n_orfs = 0;
+    };
+    std::vector<Slice> slices(T);
+    std::atomic<bool> failed(false);
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) {
+        ts.emplace_back([&, t]() {
+            int64_t r0 = bounds[t], r1 = bounds[t + 1];
+            int64_t cnt = r1 - r0;
+            int64_t bases = dna_off[r1] - dna_off[r0];
+            int64_t scap = 2 * bases + 12 * cnt + 64;
+            int64_t acap = bases + 6 * cnt + 64;
+            int64_t mcap = 2 * bases / (3 * 21) + 6 * cnt + 64;
+            Slice& s = slices[t];
+            s.seq.resize(scap);
+            s.soff.resize(mcap + 1);
+            s.meta.resize(mcap * 4);
+            s.alts.resize(acap);
+            s.aoff.resize(mcap + 1);
+            int64_t n = scan_orfs_range(
+                dna_buf, dna_off, r0, r1, aa_tab, start_tab, stop_tab,
+                s.seq.data(), scap, s.soff.data(), s.meta.data(),
+                s.alts.data(), acap, s.aoff.data(), mcap);
+            if (n < 0) failed.store(true);
+            s.n_orfs = n;
+        });
+    }
+    for (auto& th : ts) th.join();
+    if (failed.load()) return -1;
+
+    // stitch in slice order, rebasing offsets -- identical layout to the
+    // single-threaded scan
+    int64_t n_orfs = 0, sp = 0, ap = 0;
+    seq_off[0] = 0;
+    alts_off[0] = 0;
+    for (int t = 0; t < T; t++) {
+        Slice& s = slices[t];
+        int64_t s_len = s.soff[s.n_orfs];
+        int64_t a_len = s.aoff[s.n_orfs];
+        if (n_orfs + s.n_orfs > max_orfs || sp + s_len > seq_cap ||
+            ap + a_len > alts_cap)
+            return -1;
+        std::memcpy(seq_buf + sp, s.seq.data(), s_len);
+        std::memcpy(meta + n_orfs * 4, s.meta.data(),
+                    s.n_orfs * 4 * sizeof(int32_t));
+        std::memcpy(alts_buf + ap, s.alts.data(), a_len * sizeof(int32_t));
+        for (int64_t k = 1; k <= s.n_orfs; k++) {
+            seq_off[n_orfs + k] = sp + s.soff[k];
+            alts_off[n_orfs + k] = ap + s.aoff[k];
+        }
+        sp += s_len;
+        ap += a_len;
+        n_orfs += s.n_orfs;
     }
     return n_orfs;
 }

@@ -217,13 +217,17 @@ class ShardedSearchEngine:
         return qc
 
     def position_bitmaps(self, qc, hit_rows):
+        return {k: v.tolist()
+                for k, v in self.position_bitmaps_np(qc, hit_rows).items()}
+
+    def position_bitmaps_np(self, qc, hit_rows):
         from ..ops.count import member_np
 
         hits = np.asarray(list(hit_rows), dtype=np.uint32)
         if hits.size == 0 or qc.offs.size == 0:
             return {}
         found = member_np(self.postings_np, qc.offs, qc.lens, hits)
-        return {int(h): found[j].tolist() for j, h in enumerate(hits)}
+        return {int(h): found[j] for j, h in enumerate(hits)}
 
 
 class _LazyBatchSlices:

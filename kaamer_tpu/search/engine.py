@@ -412,15 +412,26 @@ class SearchEngine:
         self, qc: QueryCounts, hit_rows: Sequence[int]
     ) -> Dict[int, List[bool]]:
         """Per-hit bitmaps over query k-mer positions (reference
-        StoreMatchPositions, search.go:442-452).  Served straight from the
-        device-computed bit-packed bitmaps when the batch was dispatched with
-        positions=True; otherwise via vectorized host binary search in the
-        postings slices."""
+        StoreMatchPositions, search.go:442-452) as plain bool lists."""
+        return {
+            k: v.tolist()
+            for k, v in self.position_bitmaps_np(qc, hit_rows).items()
+        }
+
+    def position_bitmaps_np(
+        self, qc: QueryCounts, hit_rows: Sequence[int]
+    ) -> Dict[int, np.ndarray]:
+        """position_bitmaps as numpy bool arrays (the serving pipelines'
+        form: translated search consumes one bitmap per hit per ORF, so
+        per-element Python lists are too slow).  Served straight from the
+        device-computed bit-packed bitmaps when the batch was dispatched
+        with positions=True; otherwise via vectorized host binary search in
+        the postings slices."""
         if qc._bitmaps is not None:
             idx = {int(r): j for j, r in enumerate(qc.hit_rows)}
             n = qc._n_kmers
             out = {
-                int(h): qc._bitmaps[idx[int(h)], :n].astype(bool).tolist()
+                int(h): qc._bitmaps[idx[int(h)], :n].astype(bool)
                 for h in hit_rows
                 if int(h) in idx
             }
@@ -429,18 +440,18 @@ class SearchEngine:
             # arbitrary rows -- keep both paths' contracts identical)
             rest = [h for h in hit_rows if int(h) not in idx]
             if rest:
-                out.update(self._host_bitmaps(qc, rest))
+                out.update(self._host_bitmaps_np(qc, rest))
             return out
-        return self._host_bitmaps(qc, hit_rows)
+        return self._host_bitmaps_np(qc, hit_rows)
 
-    def _host_bitmaps(self, qc: QueryCounts, hit_rows) -> Dict[int, List[bool]]:
+    def _host_bitmaps_np(self, qc: QueryCounts, hit_rows) -> Dict[int, np.ndarray]:
         from ..ops.count import member_np
 
         hits = np.asarray(list(hit_rows), dtype=np.uint32)
         if hits.size == 0 or qc.offs.size == 0:
             return {}
         found = member_np(self.postings_np, qc.offs, qc.lens, hits)
-        return {int(h): found[j].tolist() for j, h in enumerate(hits)}
+        return {int(h): found[j] for j, h in enumerate(hits)}
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,48 @@ def get_orfs_batch(seqs: List[str], gcode_id: int = 11):
     return result
 
 
+def get_orf_tuples_batch(seqs: List[str], gcode_id: int = 11):
+    """Lightweight variant of get_orfs_batch for the serving pipelines:
+    returns, per input sequence, a list of tuples
+    (Sequence, StartPosition, EndPosition, PlusStrand, StartsAlternative)
+    WITHOUT constructing ORF/Location objects -- object construction
+    measured ~7x the raw native scan cost at fastq rates, and most ORFs are
+    discarded by the MinKMatch gate before their objects would ever be
+    needed.  Falls back to the Python scanner when the native library is
+    unavailable."""
+    from .. import native
+
+    arrays = translation_arrays(gcode_id)
+    buf = "".join(seqs).encode("latin-1")
+    dna_buf = np.frombuffer(buf, dtype=np.uint8)
+    lens = np.fromiter((len(s) for s in seqs), count=len(seqs), dtype=np.int64)
+    dna_off = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=dna_off[1:])
+    out = None
+    if native.available():
+        out = native.get_orfs_raw(dna_buf, dna_off, arrays.aa, arrays.start,
+                                  arrays.stop)
+    if out is None:
+        return [
+            [(o.Sequence, o.Location.StartPosition, o.Location.EndPosition,
+              o.Location.PlusStrand, o.Location.StartsAlternative)
+             for o in _get_orfs_py(s, gcode_id)]
+            for s in seqs
+        ]
+    seq_buf, seq_off, meta, alts_buf, alts_off = out
+    result = [[] for _ in seqs]
+    all_seq = seq_buf.tobytes().decode("latin-1")
+    seq_off_l = seq_off.tolist()
+    alts_l = alts_buf.tolist()
+    alts_off_l = alts_off.tolist()
+    for k, (r, sp, ep, plus) in enumerate(meta.tolist()):
+        result[r].append((
+            all_seq[seq_off_l[k]:seq_off_l[k + 1]], sp, ep, bool(plus),
+            alts_l[alts_off_l[k]:alts_off_l[k + 1]],
+        ))
+    return result
+
+
 def _get_orfs_py(dna: str, gcode_id: int = 11) -> List[ORF]:
     """Pure-Python reference scan (dna.go:65-181)."""
     dna = dna.lower()
@@ -213,7 +255,8 @@ def set_best_start_codon(query, hits, position_hits) -> None:
     `query` (a QueryRecord) and the bitmap lists in `position_hits` in place.
 
     hits: list of (row_or_id, kmatch) sorted by kmatch desc.
-    position_hits: dict id -> list[bool] per-k-mer-position match bitmaps.
+    position_hits: dict id -> per-k-mer-position match bitmap (list[bool] or
+    numpy bool array; the serving pipelines pass arrays).
     """
     best_hits = []
     best_score = 0
@@ -231,18 +274,23 @@ def set_best_start_codon(query, hits, position_hits) -> None:
 
     # Quirk preserved (dna.go:225-237): the `exit` flag is shared across best
     # hits, so after the first hit contributes a position, later hits are only
-    # consulted at position 0.
+    # consulted at position 0.  The first-match scan is argmax over the
+    # bitmap array (one per ORF with hits: serving hot path).
     first_best_hit_pos = 999999999
     exit_flag = False
     for hid in best_hits:
-        bitmap = position_hits.get(hid, [])
-        for i, is_match in enumerate(bitmap):
-            if is_match:
-                if i < first_best_hit_pos:
-                    first_best_hit_pos = i
+        bitmap = position_hits.get(hid)
+        if bitmap is None or len(bitmap) == 0:
+            continue
+        if exit_flag:
+            if bitmap[0]:
+                first_best_hit_pos = 0
+        else:
+            arr = np.asarray(bitmap, dtype=bool)
+            i = int(arr.argmax())
+            if arr[i]:
+                first_best_hit_pos = min(first_best_hit_pos, i)
                 exit_flag = True
-            if exit_flag:
-                break
 
     for s in alts:
         if s <= first_best_hit_pos:

@@ -35,7 +35,7 @@ from .options import (
     READS,
     SearchOptions,
 )
-from .orf import get_orfs, set_best_start_codon
+from .orf import set_best_start_codon
 from .results import AlignmentResult, Hit, QueryResult
 
 KMER_SIZE = 7
@@ -96,12 +96,12 @@ def iter_query_results(engine: SearchEngine, opts: SearchOptions,
 # ---------------------------------------------------------------------------
 
 
-def _batched(queries: Iterator[QueryRecord]) -> Iterator[List[QueryRecord]]:
+def _batched(queries, size_of=lambda q: q.SizeInKmer):
     """Group queries into batches of similar length (same power-of-two
     k-mer-count bucket) to limit padding waste."""
-    buckets: Dict[int, List[QueryRecord]] = {}
+    buckets: Dict[int, List] = {}
     for q in queries:
-        b = _next_pow2(max(q.SizeInKmer, 8))
+        b = _next_pow2(max(size_of(q), 8))
         lst = buckets.setdefault(b, [])
         lst.append(q)
         if len(lst) >= BATCH_MAX:
@@ -113,14 +113,18 @@ def _batched(queries: Iterator[QueryRecord]) -> Iterator[List[QueryRecord]]:
 
 
 def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
-               positions: bool = False, cancel=None):
+               positions: bool = False, cancel=None,
+               seq_of=lambda q: q.Sequence, size_of=lambda q: q.SizeInKmer):
     """Keep `depth` batches in flight on the device while finalizing earlier
     ones on the host (overlaps upload/compute/fetch).
 
     cancel (optional callable) is polled before each dispatch; once true, no
     further queries are read or dispatched and in-flight batches are drained
     without yielding -- the serving analogue of the reference's cancelQuery
-    flag checked by its readers and workers (search.go:157-166, 280-282)."""
+    flag checked by its readers and workers (search.go:157-166, 280-282).
+
+    seq_of/size_of extract sequence and k-mer count from a batch element
+    (QueryRecord for protein search; plain tuples on the ORF fast path)."""
     from collections import deque
 
     pending = deque()
@@ -130,7 +134,7 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
             cancelled = True
             break
         handle = engine.dispatch_batch(
-            [q.Sequence for q in batch], [q.SizeInKmer for q in batch], k=k,
+            [seq_of(q) for q in batch], [size_of(q) for q in batch], k=k,
             positions=positions,
         )
         pending.append((batch, handle))
@@ -184,7 +188,7 @@ def _build_result(
         return qr
     if need_positions:
         rows = [int(r) for r, c in zip(qc.hit_rows, qc.counts)][: len(qr.Hits)]
-        bitmaps = engine.position_bitmaps(qc, rows)
+        bitmaps = engine.position_bitmaps_np(qc, rows)
         qr.PositionHits = {
             int(ext_ids[r]): bm for r, bm in bitmaps.items()
         }
@@ -192,13 +196,29 @@ def _build_result(
     return qr
 
 
+# Hit Protein records are parsed from the artifact blob (JSON decode per
+# row); a bounded per-engine cache amortizes repeated hits across queries.
+_ENTRY_CACHE_MAX = 65536
+
+
 def _fetch_entries(engine: SearchEngine, qr: QueryResult) -> None:
     art = engine.art
+    cache = getattr(engine, "_entry_cache", None)
+    if cache is None:
+        cache = engine._entry_cache = {}
     for h in qr.Hits:
-        if h.Key not in qr.HitEntries:
+        if h.Key in qr.HitEntries:
+            continue
+        prot = cache.get(h.Key)
+        if prot is None:
             row = art.row_for_id(h.Key)
-            if row is not None:
-                qr.HitEntries[h.Key] = art.protein(row)
+            if row is None:
+                continue
+            prot = art.protein(row)
+            if len(cache) >= _ENTRY_CACHE_MAX:
+                cache.clear()
+            cache[h.Key] = prot
+        qr.HitEntries[h.Key] = prot
 
 
 # ---------------------------------------------------------------------------
@@ -214,70 +234,80 @@ def nucleotide_search(
     else:
         records = read_fasta_queries(opts.File, is_protein=False)
 
-    def record_orfs():
-        """(record, orfs) pairs; records are ORF-scanned in chunks so the
-        native batch scanner amortizes its call overhead."""
-        from .orf import get_orfs_batch
+    def orf_items():
+        """Per-ORF work items (seq, n_kmers, record, sp, ep, plus, alts):
+        plain tuples, because most ORFs are discarded by the MinKMatch gate
+        below and never need QueryRecord/Location objects (object
+        construction dominated the fastq host profile).  Records are
+        ORF-scanned in chunks so the native batch scanner amortizes its
+        call overhead."""
+        from .orf import get_orf_tuples_batch
 
-        CHUNK = 512
+        # large chunks amortize the native scanner's per-call thread spawn
+        # (~1 ms); 2048 reads scan in a few ms and stay well ahead of the
+        # device pipeline
+        CHUNK = 2048
         pending = []
+
+        def emit(pending):
+            batch = get_orf_tuples_batch([r.Sequence for r in pending],
+                                         opts.GeneticCode)
+            for rec, orfs in zip(pending, batch):
+                for seq, sp, ep, plus, alts in orfs:
+                    n = len(seq) - KMER_SIZE + 1
+                    if seq.endswith("*"):
+                        n -= 1
+                    if n < 1:
+                        continue
+                    yield (seq, n, rec, sp, ep, plus, alts)
+
         for rec in records:
             pending.append(rec)
             if len(pending) >= CHUNK:
-                batch = get_orfs_batch([r.Sequence for r in pending],
-                                       opts.GeneticCode)
-                if batch is None:
-                    batch = [get_orfs(r.Sequence, opts.GeneticCode)
-                             for r in pending]
-                yield from zip(pending, batch)
+                yield from emit(pending)
                 pending = []
         if pending:
-            batch = get_orfs_batch([r.Sequence for r in pending],
-                                   opts.GeneticCode)
-            if batch is None:
-                batch = [get_orfs(r.Sequence, opts.GeneticCode)
-                         for r in pending]
-            yield from zip(pending, batch)
-
-    def orf_queries():
-        for rec, orfs in record_orfs():
-            for orf in orfs:
-                n = len(orf.Sequence) - KMER_SIZE + 1
-                if orf.Sequence.endswith("*"):
-                    n -= 1
-                if n < 1:
-                    continue
-                yield QueryRecord(
-                    Sequence=orf.Sequence,
-                    Name=rec.Name,
-                    SizeInKmer=n,
-                    Type=DNA_QUERY,
-                    Location=QueryLocation(
-                        StartPosition=orf.Location.StartPosition,
-                        EndPosition=orf.Location.EndPosition,
-                        PlusStrand=orf.Location.PlusStrand,
-                        StartsAlternative=list(orf.Location.StartsAlternative),
-                    ),
-                    Contig=rec.Contig if not fastq else "",
-                )
+            yield from emit(pending)
 
     ext_ids = np.asarray(engine.art.protein_ids)
 
     k = max(opts.MaxResults, 1)
-    for batch, counts in _pipelined(engine, _batched(orf_queries()), k,
-                                    positions=True, cancel=cancel):
-        for q, qc in zip(batch, counts):
+    from operator import itemgetter
+
+    for batch, counts in _pipelined(engine,
+                                    _batched(orf_items(),
+                                             size_of=itemgetter(1)),
+                                    k, positions=True, cancel=cancel,
+                                    seq_of=itemgetter(0),
+                                    size_of=itemgetter(1)):
+        for item, qc in zip(batch, counts):
             if qc.counts.size == 0 or int(qc.counts[0]) < opts.MinKMatch:
                 continue  # top-hit gate (search_nucleotide.go:116)
 
+            seq, n, rec, sp, ep, plus, alts = item
+            # the ORF's alternative-starts list is handed over without a
+            # copy: set_best_start_codon rebinds (not mutates) the attribute
+            q = QueryRecord(
+                Sequence=seq,
+                Name=rec.Name,
+                SizeInKmer=n,
+                Type=DNA_QUERY,
+                Location=QueryLocation(
+                    StartPosition=sp, EndPosition=ep, PlusStrand=plus,
+                    StartsAlternative=alts,
+                ),
+                Contig=rec.Contig if not fastq else "",
+            )
             hits = [
                 Hit(Key=int(ext_ids[int(r)]), Kmatch=int(c))
                 for r, c in zip(qc.hit_rows, qc.counts)
             ]
             # Positions are always extracted for translated queries
             # (search.go:416); compute them for every reported hit candidate.
+            # Bitmaps stay numpy bool arrays end to end (argmax start-codon
+            # scan, vectorized run formatting, tolist only at JSON time).
             rows = [int(r) for r in qc.hit_rows]
-            bitmaps_rows = engine.position_bitmaps(qc, rows)
+            bitmaps_rows = engine.position_bitmaps_np(qc, rows)
             position_hits = {
                 int(ext_ids[r]): bm for r, bm in bitmaps_rows.items()
             }

@@ -110,29 +110,28 @@ def filter_results(result: QueryResult, opts: SearchOptions) -> None:
         result.PositionHits.pop(h.Key, None)
 
 
-def format_positions(positions: List[bool], with_alignment: bool) -> str:
-    """FormatPositionsToString (search.go:694-742), quirks included."""
-    out: List[str] = []
-    current_start = 0
-    in_seq = False
-    for pos, match in enumerate(positions):
-        if match:
-            if not in_seq:
-                current_start = pos + 1
-                in_seq = True
-        else:
-            if in_seq:
-                end = pos + 1
-                if with_alignment:
-                    end += KMER_SIZE - 1
-                out.append(f"{current_start}-{end}")
-                in_seq = False
-    if in_seq:
-        end = len(positions)
-        if with_alignment:
-            end += KMER_SIZE - 1
-        out.append(f"{current_start}-{end}")
-    return ",".join(out)
+def format_positions(positions, with_alignment: bool) -> str:
+    """FormatPositionsToString (search.go:694-742), quirks included:
+    a run terminated inside the query reports the 1-based position of the
+    first NON-matching k-mer as its end; a run reaching the end reports
+    len(positions).  Accepts a list of bools or a numpy bool array;
+    vectorized (run edges via diff) because translated search formats one
+    string per kept hit on the serving hot path."""
+    import numpy as np
+
+    arr = np.asarray(positions, dtype=bool)
+    if arr.size == 0 or not arr.any():
+        return ""
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        (np.zeros(1, np.int8), arr.astype(np.int8), np.zeros(1, np.int8)))))
+    starts = edges[0::2]          # 0-based first match of each run
+    ends = edges[1::2]            # 0-based exclusive end of each run
+    endpos = np.where(ends < arr.size, ends + 1, arr.size)
+    if with_alignment:
+        endpos = endpos + (KMER_SIZE - 1)
+    return ",".join(
+        f"{s}-{e}" for s, e in zip((starts + 1).tolist(), endpos.tolist())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -153,11 +152,23 @@ def tsv_header(opts: SearchOptions, db_stats: KStats) -> str:
     return cols + "\n"
 
 
-def _f32_pct(kmatch: int, size: int) -> str:
-    import numpy as np
+_PCT_CACHE: Dict[tuple, str] = {}
 
-    v = np.float32(kmatch) / np.float32(size) * np.float32(100.0)
-    return f"{float(v):.2f}"
+
+def _f32_pct(kmatch: int, size: int) -> str:
+    """float32 percentage exactly like the Go writer (search.go:513).  The
+    numpy-scalar round trip is ~5us; (kmatch, size) pairs repeat heavily in
+    read search, so memoize (bounded)."""
+    key = (kmatch, size)
+    v = _PCT_CACHE.get(key)
+    if v is None:
+        import numpy as np
+
+        if len(_PCT_CACHE) >= 1 << 16:
+            _PCT_CACHE.clear()
+        f = np.float32(kmatch) / np.float32(size) * np.float32(100.0)
+        v = _PCT_CACHE[key] = f"{float(f):.2f}"
+    return v
 
 
 def tsv_rows(qr: QueryResult, opts: SearchOptions, db_stats: KStats) -> List[str]:
@@ -236,8 +247,11 @@ def json_result(qr: QueryResult, include_alignment: bool) -> str:
                 for h in qr.Hits
             ],
             "PositionHits": {
-                str(k): qr.PositionHits[k]
-                for k in sorted(qr.PositionHits, key=lambda x: str(x))
+                # bitmaps flow through the pipeline as numpy bool arrays;
+                # JSON needs plain lists of bools
+                str(k): (v.tolist() if hasattr(v, "tolist") else v)
+                for k, v in sorted(qr.PositionHits.items(),
+                                   key=lambda kv: str(kv[0]))
             },
         },
         "HitEntries": {
