@@ -143,6 +143,13 @@ def run_scaling(args) -> None:
     sizes = [len(q) - 6 for q in queries]
 
     devices = jax.devices()
+    platform = devices[0].platform
+    # virtual CPU "devices" share the same host cores: every shard probes
+    # the full dp-local batch, so total work grows with n_shards while the
+    # cores don't -- the virtual run validates collectives + overhead, not
+    # speedup.  Real multi-chip meshes parallelize that work across chips.
+    note = ("virtual devices share host cores; validates sharded path, "
+            "not speedup" if platform == "cpu" else "")
     base = None
     n = 1
     while n <= len(devices):
@@ -155,12 +162,16 @@ def run_scaling(args) -> None:
         qps = 2 * n_q / (time.perf_counter() - t0)
         if base is None:
             base = qps
-        print(json.dumps({
+        rec = {
             "n_shards": n,
+            "platform": platform,
             "queries_per_s": round(qps, 1),
             "speedup": round(qps / base, 2),
             "efficiency": round(qps / base / n, 2),
-        }))
+        }
+        if note:
+            rec["note"] = note
+        print(json.dumps(rec))
         n *= 2
 
 

@@ -25,6 +25,8 @@ from typing import Optional
 
 import numpy as np
 
+from ..search.engine import PositionBitmapServing
+
 KMER_SIZE = 7
 
 
@@ -70,13 +72,17 @@ def global_mesh(n_shards: Optional[int] = None):
     return Mesh(devices.reshape(dp, n_shards), axis_names=("dp", "shard"))
 
 
-class ShardedSearchEngine:
+class ShardedSearchEngine(PositionBitmapServing):
     """Counting engine over a sharded index on a (dp, shard) mesh.  Exposes
     the same dispatch/resolve contract as search.engine.SearchEngine, so the
     search pipelines (and their batch pipelining) run unmodified on top of
-    it: queries ship packed 7 residues/uint32, device->host copies start at
-    dispatch time, and the expansion capacity adapts to the observed
-    shard-local postings volume just like the single-chip engine."""
+    it: queries ship packed 7 residues/uint32 (native kt_pack_queries when
+    available), device->host copies start at dispatch time, the expansion
+    capacity adapts to the observed shard-local postings volume, position
+    bitmaps are computed on device from the all-to-all-merged expansion, and
+    overflowing queries are re-run selectively in bounded sub-batches --
+    feature parity with the single-chip engine, bit-identical results
+    (tests/test_dist.py)."""
 
     CAP_MIN = 1 << 8
     CAP_MAX = 1 << 18  # per-shard; the merge concatenates n_shards * cap
@@ -106,15 +112,15 @@ class ShardedSearchEngine:
         self.set_starts_np = np.concatenate([so, so[-1:]]).astype(np.int64)
         self.postings_np = np.asarray(art.postings)
 
-    def _fn(self, cap: int, k: int, width: int):
+    def _fn(self, cap: int, k: int, width: int, positions: bool):
         from .mesh import make_sharded_search
 
-        key = (cap, k, width)
+        key = (cap, k, width, positions)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sharded_search(
                 self.mesh, self.sharded.n_sets_padded,
                 self.sharded.primary_log2, self.sharded.secondary_log2,
-                cap=cap, k=k, width=width,
+                cap=cap, k=k, width=width, positions=positions,
             )
         return self._fn_cache[key]
 
@@ -122,10 +128,10 @@ class ShardedSearchEngine:
         return self.resolve_batch(self.dispatch_batch(seqs, sizes, k,
                                                       positions=positions))
 
-    def _run(self, wire_np, n_np, cap, k_eff, width):
+    def _run(self, wire_np, n_np, cap, k_eff, width, positions):
         import jax.numpy as jnp
 
-        outs = self._fn(cap, k_eff, width)(
+        outs = self._fn(cap, k_eff, width, positions)(
             self.tables, self.set_starts, self.postings,
             jnp.asarray(wire_np), jnp.asarray(n_np),
         )
@@ -133,8 +139,22 @@ class ShardedSearchEngine:
             arr.copy_to_host_async()
         return outs
 
-    def dispatch_batch(self, seqs, sizes, k, positions: bool = False):
-        from .. import codec
+    def _pos_on_device(self, cap: int, k_eff: int, L: int) -> bool:
+        # the merged expansion each device finalizes is n_shards * cap wide
+        from ..search.engine import _positions_on_device
+
+        return _positions_on_device(cap * self.n_shards, k_eff, L)
+
+    def _pack(self, padded, width):
+        from .. import codec, native
+
+        wire = native.pack_queries(padded, width)
+        if wire is None:
+            wire = codec.pack_codes7(codec.pad_codes_batch(padded, width))
+        return wire
+
+    def dispatch_batch(self, seqs, sizes, k, positions: bool = False,
+                       cap: int = 0, adapt_hint: bool = True):
         from ..search.engine import TOPK_MIN, _next_pow2
 
         if not seqs:
@@ -146,49 +166,125 @@ class ShardedSearchEngine:
         padded = list(seqs) + [""] * (B - B0)
         L = _next_pow2(max(max(sizes), 8))
         width = L + KMER_SIZE - 1
-        codes = codec.pad_codes_batch(padded, width)
-        wire = codec.pack_codes7(codes)
+        wire = self._pack(padded, width)
         n_np = np.zeros(B, dtype=np.int32)
         n_np[:B0] = sizes
 
-        cap = max(self._cap_hint, self.CAP_MIN)
+        cap = cap or max(self._cap_hint, self.CAP_MIN)
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap * self.n_shards)
-        outs = self._run(wire, n_np, cap, k_eff, width)
-        return (outs, wire, n_np, list(seqs), list(sizes), k, k_eff, cap, width)
+        pos_dev = positions and self._pos_on_device(cap, k_eff, L)
+        outs = self._run(wire, n_np, cap, k_eff, width, pos_dev)
+        return (outs, wire, n_np, list(seqs), list(sizes), k, k_eff, cap,
+                width, positions, adapt_hint)
 
     def resolve_batch(self, handle):
-        from ..search.engine import TOPK_MIN, QueryCounts, _cap_bucket, _next_pow2
+        from ..search.engine import QueryCounts, _cap_bucket
 
         if handle is None:
             return []
-        (outs, wire, n_np, seqs, sizes, k, k_eff, cap, width) = handle
-        while True:
-            counts, hit_rows, totals = self._jax.device_get(tuple(outs))
-            max_total = int(totals.max())
-            if max_total <= cap or cap >= self.CAP_MAX:
-                break
-            cap = min(_cap_bucket(max_total), self.CAP_MAX)
-            k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap * self.n_shards)
-            outs = self._run(wire, n_np, cap, k_eff, width)
-        self._cap_hint = min(_cap_bucket(max_total + (max_total >> 4)),
-                             self.CAP_MAX)
+        (outs, wire, n_np, seqs, sizes, k, k_eff, cap, width, positions,
+         adapt_hint) = handle
+        counts, hit_rows, totals = self._jax.device_get(tuple(outs[:3]))
+        bitmaps_h = None
+        if len(outs) > 3:
+            bitmaps_h = np.unpackbits(self._jax.device_get(outs[3]),
+                                      axis=-1, bitorder="little")
+        max_total = int(totals.max())
+        if adapt_hint:
+            self._cap_hint = min(_cap_bucket(max_total + (max_total >> 4)),
+                                 self.CAP_MAX)
 
-        overflow = totals > self.CAP_MAX
         slices = _LazyBatchSlices(self, seqs, sizes)
+        over_idx = [i for i in range(len(sizes)) if int(totals[i]) > cap]
+        rerun = (
+            self._rerun_overflow(wire, sizes, over_idx, totals, slices, k,
+                                 width, positions)
+            if over_idx
+            else {}
+        )
         out = []
         for i, size in enumerate(sizes):
-            if overflow[i]:
-                # exact host fallback for postings-heavy outliers, matching
-                # the single-chip engine (sharded stays bit-identical to it)
-                qc = self._count_host_row(slices, i, size, k_eff)
+            if i in rerun:
+                qc = rerun[i]
             else:
                 c = counts[i]
                 nz = c > 0
                 qc = QueryCounts(hit_rows=hit_rows[i][nz], counts=c[nz],
                                  _engine=self, _batch=slices, _row=i,
                                  _n_kmers=size)
+                if bitmaps_h is not None:
+                    qc._bitmaps = bitmaps_h[i]
             out.append(qc)
         return out
+
+    def _rerun_overflow(self, wire, sizes, over_idx, totals, slices, k,
+                        width, positions):
+        """Re-run overflowing queries in bounded sub-batches at the cap
+        bucket they need (mirrors SearchEngine._rerun_overflow; peak device
+        memory stays B_sub * n_shards * CAP_MAX elements)."""
+        from ..search.engine import (TOPK_MIN, QueryCounts, _cap_bucket,
+                                     _next_pow2)
+
+        out = {}
+        mult = self.dp * self.n_shards
+        B_sub = mult * max(1, -(-16 // mult))
+        L = width - (KMER_SIZE - 1)
+        k_full = _next_pow2(max(k, TOPK_MIN))
+        dev_rows = []
+        for i in over_idx:
+            if int(totals[i]) > self.CAP_MAX:
+                # exact host fallback for postings-heavy outliers, matching
+                # the single-chip engine (sharded stays bit-identical to it)
+                out[i] = self._count_host_row(slices, i, sizes[i], k_full)
+            else:
+                dev_rows.append(i)
+        dev_rows.sort(key=lambda i: int(totals[i]))
+        for c0 in range(0, len(dev_rows), B_sub):
+            chunk = dev_rows[c0 : c0 + B_sub]
+            cap2 = min(_cap_bucket(max(int(totals[i]) for i in chunk)),
+                       self.CAP_MAX)
+            k2 = min(k_full, cap2 * self.n_shards)
+            wire2 = np.zeros((B_sub,) + wire.shape[1:], wire.dtype)
+            n2 = np.zeros(B_sub, dtype=np.int32)
+            for j, i in enumerate(chunk):
+                wire2[j] = wire[i]
+                n2[j] = sizes[i]
+            pos_dev = positions and self._pos_on_device(cap2, k2, L)
+            outs = self._run(wire2, n2, cap2, k2, width, pos_dev)
+            ch, hh = self._jax.device_get((outs[0], outs[1]))
+            bm = None
+            if len(outs) > 3:
+                bm = np.unpackbits(self._jax.device_get(outs[3]), axis=-1,
+                                   bitorder="little")
+            for j, i in enumerate(chunk):
+                c = ch[j]
+                nz = c > 0
+                qc = QueryCounts(hit_rows=hh[j][nz], counts=c[nz],
+                                 _engine=self, _batch=slices, _row=i,
+                                 _n_kmers=sizes[i])
+                if bm is not None:
+                    qc._bitmaps = bm[j]
+                out[i] = qc
+        return out
+
+    def warmup(self, batch_sizes=(16, 2048), lengths=(64, 128, 256, 512),
+               positions=(False, True), caps=(CAP_MIN,)) -> None:
+        """Pre-compile the common shape buckets without touching the
+        adaptive cap hint (same contract as SearchEngine.warmup)."""
+        for B in batch_sizes:
+            for L in lengths:
+                for pos in positions:
+                    for capv in caps:
+                        try:
+                            seq = "A" * min(L + KMER_SIZE - 1, 64)
+                            seqs_w = [seq] * B
+                            sizes_w = ([len(seq) - KMER_SIZE + 1] * (B - 1)
+                                       + [L])
+                            self.resolve_batch(self.dispatch_batch(
+                                seqs_w, sizes_w, k=10, positions=pos,
+                                cap=capv, adapt_hint=False))
+                        except Exception:
+                            pass
 
     def _count_host_row(self, slices: "_LazyBatchSlices", i: int,
                         n_kmers: int, k: int):
@@ -215,20 +311,6 @@ class ShardedSearchEngine:
         qc._offs = offs
         qc._lens = lens
         return qc
-
-    def position_bitmaps(self, qc, hit_rows):
-        return {k: v.tolist()
-                for k, v in self.position_bitmaps_np(qc, hit_rows).items()}
-
-    def position_bitmaps_np(self, qc, hit_rows):
-        from ..ops.count import member_np
-
-        hits = np.asarray(list(hit_rows), dtype=np.uint32)
-        if hits.size == 0 or qc.offs.size == 0:
-            return {}
-        found = member_np(self.postings_np, qc.offs, qc.lens, hits)
-        return {int(h): found[j] for j, h in enumerate(hits)}
-
 
 class _LazyBatchSlices:
     """Per-batch lazy global k-mer -> set-id resolution for position

@@ -175,17 +175,23 @@ def shard_index_arrays(
 
 def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
                         secondary_log2: int, cap: int, k: int,
-                        width: int = 0):
+                        width: int = 0, positions: bool = False):
     """Build the jitted multi-device search step over `mesh` with axes
     ("dp", "shard").
 
     Returns fn(tables, set_starts, postings, codes, n_kmers) ->
-    (counts int32[B, k], hit_rows uint32[B, k], totals int32[B]) with B
-    divisible by dp * shard sizes.  `codes` is int32[B, L+6] residue codes,
-    or -- when width == L+6 is given -- the packed uint32 wire format from
-    codec.pack_codes7 (7 residues/word; what ships over DCN on multi-host
-    meshes).  `totals` is each query's maximum shard-local postings volume,
-    driving the adaptive capacity exactly like the single-chip engine.
+    (counts int32[B, k], hit_rows uint32[B, k], totals int32[B]
+    [, bitmaps uint8[B, k, L//8]]) with B divisible by dp * shard sizes.
+    `codes` is int32[B, L+6] residue codes, or -- when width == L+6 is given
+    -- the packed uint32 wire format from codec.pack_codes7 (7 residues/word;
+    what ships over DCN on multi-host meshes).  `totals` is each query's
+    maximum shard-local postings volume, driving the adaptive capacity
+    exactly like the single-chip engine.
+
+    With positions=True the per-hit k-mer position bitmaps are computed on
+    device from the all-to-all-merged expansion (the k-mer position index of
+    every expanded entry travels with its row through the same collective),
+    exactly like the single-chip fused kernel's MXU one-hot path.
     """
     import jax
     import jax.numpy as jnp
@@ -193,7 +199,8 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
     from jax import shard_map
 
     from .. import codec
-    from ..ops.count import count_topk, gather_postings
+    from ..ops.count import (count_topk, gather_postings,
+                             member_bitmap_from_rows, pack_bits)
     from ..ops.probe import probe
 
     def local_step(table_b, set_starts, postings, codes, n_kmers):
@@ -222,7 +229,7 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
         cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
         total = cum[:, -1]
 
-        rows, _, _ = gather_postings(postings, offs, cum, total, cap)
+        rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
 
         # every shard holds a disjoint postings subset; swap so each device
         # finalizes B_dp/n_shards queries over all shards' contributions
@@ -236,8 +243,21 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
         tmax = jax.lax.all_to_all(
             tmax[:, None], "shard", split_axis=0, concat_axis=1, tiled=True
         )[:, 0]
-        return counts, hit_rows, tmax
+        if not positions:
+            return counts, hit_rows, tmax
+        # the per-entry k-mer position rides the same all_to_all as rows, so
+        # the merged expansion keeps (row, position) pairs aligned
+        seg_ex = jax.lax.all_to_all(
+            seg, "shard", split_axis=0, concat_axis=1, tiled=True
+        )
+        found = member_bitmap_from_rows(rows_ex, seg_ex, hit_rows, L)
+        found = found & (counts[:, :, None] > 0)
+        return counts, hit_rows, tmax, pack_bits(found)
 
+    out_specs = [P(("dp", "shard"), None), P(("dp", "shard"), None),
+                 P(("dp", "shard"),)]
+    if positions:
+        out_specs.append(P(("dp", "shard"), None, None))
     fn = shard_map(
         local_step,
         mesh=mesh,
@@ -248,8 +268,7 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
             P("dp", None),            # codes (replicated over shard)
             P("dp",),                 # n_kmers
         ),
-        out_specs=(P(("dp", "shard"), None), P(("dp", "shard"), None),
-                   P(("dp", "shard"),)),
+        out_specs=tuple(out_specs),
         # codes are replicated over "shard" while table gathers vary over it;
         # the probe loop carry mixes the two, so disable the vma check
         check_vma=False,

@@ -122,7 +122,58 @@ class _BatchIds:
         return self._np
 
 
-class SearchEngine:
+class PositionBitmapServing:
+    """Position-bitmap lookups shared by the single-chip and sharded engines
+    (both keep host-side `postings_np` / set-start views and attach device
+    bitmaps to QueryCounts when the batch ran with positions=True)."""
+
+    def position_bitmaps(
+        self, qc: "QueryCounts", hit_rows: Sequence[int]
+    ) -> Dict[int, List[bool]]:
+        """Per-hit bitmaps over query k-mer positions (reference
+        StoreMatchPositions, search.go:442-452) as plain bool lists."""
+        return {
+            k: v.tolist()
+            for k, v in self.position_bitmaps_np(qc, hit_rows).items()
+        }
+
+    def position_bitmaps_np(
+        self, qc: "QueryCounts", hit_rows: Sequence[int]
+    ) -> Dict[int, np.ndarray]:
+        """position_bitmaps as numpy bool arrays (the serving pipelines'
+        form: translated search consumes one bitmap per hit per ORF, so
+        per-element Python lists are too slow).  Served straight from the
+        device-computed bit-packed bitmaps when the batch was dispatched
+        with positions=True; otherwise via vectorized host binary search in
+        the postings slices."""
+        if qc._bitmaps is not None:
+            idx = {int(r): j for j, r in enumerate(qc.hit_rows)}
+            n = qc._n_kmers
+            out = {
+                int(h): qc._bitmaps[idx[int(h)], :n].astype(bool)
+                for h in hit_rows
+                if int(h) in idx
+            }
+            # requested rows outside the device top-k (callers today only
+            # pass subsets of hit_rows, but the host path below answers
+            # arbitrary rows -- keep both paths' contracts identical)
+            rest = [h for h in hit_rows if int(h) not in idx]
+            if rest:
+                out.update(self._host_bitmaps_np(qc, rest))
+            return out
+        return self._host_bitmaps_np(qc, hit_rows)
+
+    def _host_bitmaps_np(self, qc: "QueryCounts", hit_rows) -> Dict[int, np.ndarray]:
+        from ..ops.count import member_np
+
+        hits = np.asarray(list(hit_rows), dtype=np.uint32)
+        if hits.size == 0 or qc.offs.size == 0:
+            return {}
+        found = member_np(self.postings_np, qc.offs, qc.lens, hits)
+        return {int(h): found[j] for j, h in enumerate(hits)}
+
+
+class SearchEngine(PositionBitmapServing):
     """Holds the device-resident index and runs batched searches."""
 
     def __init__(self, art: DBArtifact):
@@ -403,56 +454,6 @@ class SearchEngine:
                                 cap=capv, adapt_hint=False))
                         except Exception:
                             pass
-
-    # ------------------------------------------------------------------
-    # Position bitmaps
-    # ------------------------------------------------------------------
-
-    def position_bitmaps(
-        self, qc: QueryCounts, hit_rows: Sequence[int]
-    ) -> Dict[int, List[bool]]:
-        """Per-hit bitmaps over query k-mer positions (reference
-        StoreMatchPositions, search.go:442-452) as plain bool lists."""
-        return {
-            k: v.tolist()
-            for k, v in self.position_bitmaps_np(qc, hit_rows).items()
-        }
-
-    def position_bitmaps_np(
-        self, qc: QueryCounts, hit_rows: Sequence[int]
-    ) -> Dict[int, np.ndarray]:
-        """position_bitmaps as numpy bool arrays (the serving pipelines'
-        form: translated search consumes one bitmap per hit per ORF, so
-        per-element Python lists are too slow).  Served straight from the
-        device-computed bit-packed bitmaps when the batch was dispatched
-        with positions=True; otherwise via vectorized host binary search in
-        the postings slices."""
-        if qc._bitmaps is not None:
-            idx = {int(r): j for j, r in enumerate(qc.hit_rows)}
-            n = qc._n_kmers
-            out = {
-                int(h): qc._bitmaps[idx[int(h)], :n].astype(bool)
-                for h in hit_rows
-                if int(h) in idx
-            }
-            # requested rows outside the device top-k (callers today only
-            # pass subsets of hit_rows, but the host path below answers
-            # arbitrary rows -- keep both paths' contracts identical)
-            rest = [h for h in hit_rows if int(h) not in idx]
-            if rest:
-                out.update(self._host_bitmaps_np(qc, rest))
-            return out
-        return self._host_bitmaps_np(qc, hit_rows)
-
-    def _host_bitmaps_np(self, qc: QueryCounts, hit_rows) -> Dict[int, np.ndarray]:
-        from ..ops.count import member_np
-
-        hits = np.asarray(list(hit_rows), dtype=np.uint32)
-        if hits.size == 0 or qc.offs.size == 0:
-            return {}
-        found = member_np(self.postings_np, qc.offs, qc.lens, hits)
-        return {int(h): found[j] for j, h in enumerate(hits)}
-
 
 # ---------------------------------------------------------------------------
 # jitted implementation

@@ -65,13 +65,86 @@ def test_sharded_overflow_host_fallback(db, tmp_path):
     want = single.count_batch(queries, sizes, k=8)
 
     eng = ShardedSearchEngine(art, mesh=global_mesh(4))
-    eng.CAP_MAX = 2  # instance override: force every query to overflow
+    # instance overrides: dispatch at cap 2 and make any overflow exceed
+    # CAP_MAX, forcing every query through the host bincount
+    eng.CAP_MAX = 2
+    eng.CAP_MIN = 2
     eng._cap_hint = 2
     got = eng.count_batch(queries, sizes, k=8)
 
     for qw, qg in zip(want, got):
         assert np.array_equal(qw.hit_rows[:8], qg.hit_rows[:8])
         assert np.array_equal(qw.counts[:8], qg.counts[:8])
+
+
+def test_sharded_device_rerun_matches_single(db):
+    """Queries overflowing the dispatch cap but under CAP_MAX re-run in
+    bounded sub-batches on device and must match the single-chip engine."""
+    art, seqs, _ = db
+    queries = [seqs[2], seqs[9][:60], seqs[30], seqs[44]]
+    sizes = [len(q) - 6 for q in queries]
+
+    want = SearchEngine(art).count_batch(queries, sizes, k=8)
+    eng = ShardedSearchEngine(art, mesh=global_mesh(4))
+    eng.CAP_MIN = 2
+    eng._cap_hint = 2  # dispatch at cap 2; totals overflow -> device re-run
+    got = eng.count_batch(queries, sizes, k=8)
+    for qw, qg in zip(want, got):
+        assert np.array_equal(qw.hit_rows[:8], qg.hit_rows[:8])
+        assert np.array_equal(qw.counts[:8], qg.counts[:8])
+
+
+def test_sharded_device_position_bitmaps_match_single(db):
+    """positions=True on the sharded engine computes bitmaps on device from
+    the all-to-all-merged expansion; they must equal the single-chip ones."""
+    art, seqs, _ = db
+    queries = [seqs[5], seqs[11][:50], seqs[20]]
+    sizes = [len(q) - 6 for q in queries]
+
+    single = SearchEngine(art)
+    want_qc = single.count_batch(queries, sizes, k=8, positions=True)
+    eng = ShardedSearchEngine(art, mesh=global_mesh(4))
+    got_qc = eng.count_batch(queries, sizes, k=8, positions=True)
+
+    for qw, qg in zip(want_qc, got_qc):
+        assert qg._bitmaps is not None, "sharded device bitmaps missing"
+        rows = [int(r) for r in qw.hit_rows]
+        assert eng.position_bitmaps(qg, rows) == single.position_bitmaps(qw, rows)
+
+
+def test_sharded_fastq_pipeline_matches_single(db, tmp_path):
+    """Full fastq (translated reads) pipeline through the sharded engine is
+    byte-identical to single-chip serving."""
+    from kaamer_tpu.search.options import READS
+
+    art, seqs, _ = db
+    c = {"A":"gct","C":"tgt","D":"gat","E":"gaa","F":"ttt","G":"ggt","H":"cat",
+         "I":"att","K":"aaa","L":"ctt","M":"atg","N":"aat","P":"cct","Q":"caa",
+         "R":"cgt","S":"tct","T":"act","V":"gtt","W":"tgg","Y":"tat"}
+    fq = tmp_path / "reads.fq"
+    rng = np.random.default_rng(8)
+    with open(fq, "w") as f:
+        for i in range(12):
+            src = seqs[int(rng.integers(0, len(seqs)))]
+            frag = src[: min(40, len(src))]
+            dna = "taa" + "".join(c.get(a, "gct") for a in frag) + "taa"
+            f.write(f"@r{i}\n{dna}\n+\n{'I' * len(dna)}\n")
+
+    opts = SearchOptions(File=str(fq), SequenceType=READS, OutFormat="tsv",
+                         ExtractPositions=True, MaxResults=3)
+    single = b"".join(run_search(SearchEngine(art), opts))
+    sharded = b"".join(run_search(
+        ShardedSearchEngine(art, mesh=global_mesh(4)), opts))
+    assert single == sharded
+    assert single.count(b"\n") >= 8  # header + most reads hit
+
+
+def test_sharded_warmup_does_not_touch_cap_hint(db):
+    art, seqs, _ = db
+    eng = ShardedSearchEngine(art, mesh=global_mesh(4))
+    eng._cap_hint = 320
+    eng.warmup(batch_sizes=(8,), lengths=(16,), positions=(False,))
+    assert eng._cap_hint == 320
 
 
 def test_encode_kmers_batch_matches_scalar():
