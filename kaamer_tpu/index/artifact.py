@@ -113,6 +113,80 @@ class DBArtifact:
         return self._sequences.get_str(row)
 
 
+def write_meta(
+    path: str,
+    stats: KStats,
+    settings: KSettings,
+    indexed: bool,
+    hash_primary_log2: int = 0,
+    hash_secondary_log2: int = 0,
+) -> None:
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kmer_size": 7,
+        "indexed": indexed,
+        "stats": stats.to_json_obj(),
+        "settings": settings.to_json_obj(),
+        "hash": {
+            "primary_log2": hash_primary_log2,
+            "secondary_log2": hash_secondary_log2,
+        },
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+class StreamWriter:
+    """Incremental protein-column writer for out-of-core builds.
+
+    The reference bounds build memory by streaming inserts through a
+    channel into the LSM tree (kv_store.go:77-127, maxsize mode
+    kv_stores.go:40-44); here the artifact's column files are append-only,
+    so a build can stream millions of proteins while holding only compact
+    id/length/offset arrays (array module, 16 B/protein) in memory.  The
+    pair spill/merge lives in index/build.py."""
+
+    def __init__(self, path: str):
+        import array
+
+        os.makedirs(path, exist_ok=True)
+        self.path = path
+        self._ids = array.array("I")
+        self._lengths = array.array("i")
+        self._files = {}
+        self._offsets = {}
+        for name in ("entry_ids", "sequences", "features"):
+            self._files[name] = open(os.path.join(path, name + ".bin"), "wb")
+            self._offsets[name] = array.array("Q", [0])
+
+    def add(self, pid: int, length: int, entry_id: bytes, sequence: bytes,
+            features: bytes) -> None:
+        self._ids.append(pid)
+        self._lengths.append(length)
+        for name, blob in (("entry_ids", entry_id), ("sequences", sequence),
+                           ("features", features)):
+            self._files[name].write(blob)
+            off = self._offsets[name]
+            off.append(off[-1] + len(blob))
+
+    @property
+    def count(self) -> int:
+        return len(self._ids)
+
+    def finish(self) -> None:
+        np.save(os.path.join(self.path, "protein_ids.npy"),
+                np.frombuffer(self._ids, dtype=np.uint32)
+                if self._ids else np.empty(0, np.uint32))
+        np.save(os.path.join(self.path, "protein_lengths.npy"),
+                np.frombuffer(self._lengths, dtype=np.int32)
+                if self._lengths else np.empty(0, np.int32))
+        for name, f in self._files.items():
+            f.close()
+            off = self._offsets[name]
+            np.save(os.path.join(self.path, name + ".off.npy"),
+                    np.frombuffer(off, dtype=np.uint64))
+
+
 def save_db(
     path: str,
     stats: KStats,
@@ -147,19 +221,8 @@ def save_db(
     else:
         np.save(os.path.join(path, "pairs.npy"), pairs.astype(np.uint64, copy=False))
 
-    meta = {
-        "format_version": FORMAT_VERSION,
-        "kmer_size": 7,
-        "indexed": indexed,
-        "stats": stats.to_json_obj(),
-        "settings": settings.to_json_obj(),
-        "hash": {
-            "primary_log2": hash_primary_log2,
-            "secondary_log2": hash_secondary_log2,
-        },
-    }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1)
+    write_meta(path, stats, settings, indexed,
+               hash_primary_log2, hash_secondary_log2)
 
 
 def load_db(path: str, mmap: bool = True) -> DBArtifact:

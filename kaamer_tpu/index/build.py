@@ -38,23 +38,102 @@ from .hashtable import build_table
 KMER_SIZE = 7
 
 
-def _collect_proteins(
-    entries: Iterable[Tuple[int, Protein]],
-    progress: bool = False,
-):
-    """Materialize protein columns + kmer pairs from a parser stream.
+# Pair volume held in memory before a sorted chunk spills to disk.  The
+# build's peak RSS is ~2x this (the chunk plus numpy's sort scratch) plus
+# the 64 MB extraction window -- the out-of-core analogue of the reference's
+# bounded insert channel + maxsize mode (kv_store.go:77-127,
+# kv_stores.go:40-44).  Overridable for tests / small machines via
+# KAAMER_BUILD_SPILL_BYTES.
+SPILL_BYTES_DEFAULT = 1 << 30
 
-    K-mer pair extraction and the global sort run through the native C++
+
+def _spill_budget() -> int:
+    return int(os.environ.get("KAAMER_BUILD_SPILL_BYTES",
+                              SPILL_BYTES_DEFAULT))
+
+
+def _kway_merge_u64(spill_files: List[str], out_path: str,
+                    block_elems: int = 1 << 20) -> None:
+    """Merge sorted uint64 spill files into a .npy at out_path, streaming:
+    peak memory is bounded by ~2 * n_files * block_elems * 8 bytes.
+
+    Classic pivot-block merge: hold one block per file, cut every block at
+    the smallest block-end value across files (everything <= that pivot is
+    globally mergeable), sort the concatenated cut, append to the output.
+    At least one full block is consumed per iteration.  All I/O is buffered
+    reads/writes, NOT memmaps -- dirty/resident mapped pages would count
+    against the process RSS and defeat the memory bound."""
+    sizes = [os.path.getsize(f) // 8 for f in spill_files]
+    total = sum(sizes)
+    fhs = [open(f, "rb") for f in spill_files]
+    remaining = list(sizes)
+    bufs = [np.empty(0, dtype=np.uint64) for _ in fhs]
+    offs = [0] * len(fhs)
+
+    def refill(i: int) -> None:
+        if offs[i] == bufs[i].shape[0] and remaining[i]:
+            n = min(block_elems, remaining[i])
+            bufs[i] = np.fromfile(fhs[i], dtype=np.uint64, count=n)
+            remaining[i] -= n
+            offs[i] = 0
+
+    w = 0
+    with open(out_path, "wb") as out:
+        np.lib.format.write_array_header_1_0(
+            out, {"descr": "<u8", "fortran_order": False, "shape": (total,)})
+        while True:
+            for i in range(len(fhs)):
+                refill(i)
+            alive = [i for i in range(len(fhs)) if offs[i] < bufs[i].shape[0]]
+            if not alive:
+                break
+            pivot = min(bufs[i][-1] for i in alive)
+            parts = []
+            for i in alive:
+                cut = offs[i] + int(np.searchsorted(
+                    bufs[i][offs[i]:], pivot, side="right"))
+                if cut > offs[i]:
+                    parts.append(bufs[i][offs[i]:cut])
+                    offs[i] = cut
+            merged = parts[0] if len(parts) == 1 else np.sort(
+                np.concatenate(parts))
+            merged.tofile(out)
+            w += merged.shape[0]
+    for f in fhs:
+        f.close()
+    assert w == total
+
+
+def _collect_proteins_streaming(
+    entries: Iterable[Tuple[int, Protein]],
+    db_path: str,
+    progress: bool = False,
+    spill_bytes: int = 0,
+) -> KStats:
+    """Stream protein columns into the artifact (append-only blob files) and
+    (kmer<<32 | protein_row) pairs into sorted on-disk spill chunks, then
+    k-way-merge the chunks into <db>/pairs.npy.  Memory stays bounded by the
+    spill budget regardless of input size (reference: bounded insert
+    channel, kv_store.go:77-127).
+
+    K-mer pair extraction and chunk sorts run through the native C++
     kernels (kaamer_tpu/native) when the toolchain is available, with a
     numpy fallback."""
+    import shutil
+
     from .. import native
 
-    ids: List[int] = []
-    lengths: List[int] = []
-    entry_ids: List[bytes] = []
-    sequences: List[bytes] = []
-    features: List[bytes] = []
+    spill_bytes = spill_bytes or _spill_budget()
+    # each sequence byte becomes one 8-byte pair, so the extraction window
+    # must stay well under the spill budget or a single flush overshoots it
+    window_bytes = min(64_000_000, max(1 << 20, spill_bytes // 16))
+    writer = artifact.StreamWriter(db_path)
+    spill_dir = os.path.join(db_path, "_spill")
+    os.makedirs(spill_dir, exist_ok=True)
+    spill_files: List[str] = []
+
     pair_chunks: List[np.ndarray] = []
+    pair_bytes = 0
 
     # pending chunk of concatenated sequence bytes for batch extraction
     chunk_seqs: List[bytes] = []
@@ -64,60 +143,78 @@ def _collect_proteins(
     count_aa = 0
     count_kmers = 0
 
+    def spill(final: bool) -> Optional[np.ndarray]:
+        """Sort the pending pair chunks; write them to a spill file (or, on
+        the final call with no prior spills, return them directly)."""
+        nonlocal pair_bytes
+        if not pair_chunks:
+            # nothing pending: only the no-spill empty build needs a result
+            return (np.empty(0, dtype=np.uint64)
+                    if final and not spill_files else None)
+        pairs = np.concatenate(pair_chunks)
+        pair_chunks.clear()
+        pair_bytes = 0
+        pairs = native.sort_u64(pairs)
+        if final and not spill_files:
+            return pairs  # single-chunk build: no disk round trip
+        path = os.path.join(spill_dir, f"chunk{len(spill_files):05d}.bin")
+        pairs.tofile(path)
+        spill_files.append(path)
+        return None
+
     def flush_chunk():
-        nonlocal chunk_seqs, chunk_base, chunk_bytes
+        nonlocal chunk_seqs, chunk_base, chunk_bytes, pair_bytes
         if not chunk_seqs:
             return
         buf = np.frombuffer(b"".join(chunk_seqs), dtype=np.uint8)
         offs = np.zeros(len(chunk_seqs) + 1, dtype=np.int64)
         np.cumsum([len(s) for s in chunk_seqs], out=offs[1:])
-        pair_chunks.append(native.extract_pairs(buf, offs, chunk_base))
+        chunk = native.extract_pairs(buf, offs, chunk_base)
+        pair_chunks.append(chunk)
+        pair_bytes += chunk.nbytes
         chunk_base += len(chunk_seqs)
         chunk_seqs = []
         chunk_bytes = 0
+        if pair_bytes >= spill_bytes:
+            spill(final=False)
 
     for row, (pid, prot) in enumerate(entries):
-        ids.append(pid)
-        lengths.append(prot.Length)
-        entry_ids.append(prot.EntryId.encode("utf-8"))
         seq_b = prot.Sequence.encode("utf-8")
-        sequences.append(seq_b)
-        features.append(
+        writer.add(
+            pid, prot.Length, prot.EntryId.encode("utf-8"), seq_b,
             json.dumps(prot.Features, separators=(",", ":")).encode("utf-8")
-            if prot.Features else b""
+            if prot.Features else b"",
         )
         count_aa += prot.Length
         count_kmers += prot.Length - KMER_SIZE + 1
 
         chunk_seqs.append(seq_b)
         chunk_bytes += len(seq_b)
-        if chunk_bytes >= 64_000_000:
+        if chunk_bytes >= window_bytes:
             flush_chunk()
         if progress and (row + 1) % 10000 == 0:
             print(f"Processed {row + 1} proteins")
 
     flush_chunk()
+    pairs = spill(final=True)
+    writer.finish()
 
-    all_pairs = (
-        np.concatenate(pair_chunks) if pair_chunks else np.empty(0, dtype=np.uint64)
-    )
-    pair_chunks.clear()  # release the pre-concat copies before sorting
-    all_pairs = native.sort_u64(all_pairs)
+    pairs_path = os.path.join(db_path, "pairs.npy")
+    if pairs is not None:
+        np.save(pairs_path, pairs)
+        del pairs
+    else:
+        # size merge blocks so one iteration's live parts (n_files blocks +
+        # their concatenated sort copy) stay within ~half the spill budget
+        block = max(1 << 16, spill_bytes // (32 * max(1, len(spill_files))))
+        _kway_merge_u64(spill_files, pairs_path, block_elems=block)
+    shutil.rmtree(spill_dir, ignore_errors=True)
 
-    stats = KStats(
-        NumberOfProteins=len(ids),
+    return KStats(
+        NumberOfProteins=writer.count,
         NumberOfAA=count_aa,
         NumberOfKmers=count_kmers,
         NumberOfKCombSets=0,
-    )
-    return (
-        np.asarray(ids, dtype=np.uint32),
-        np.asarray(lengths, dtype=np.int32),
-        entry_ids,
-        sequences,
-        features,
-        all_pairs,
-        stats,
     )
 
 
@@ -152,9 +249,7 @@ def build_db(
             header = f.readline().rstrip("\n").split("\t")
         default_features = [h for h in header if h.lower() not in ("entryid", "sequence")]
 
-    (ids, lengths, entry_ids, sequences, features, pairs, stats) = _collect_proteins(
-        stream(), progress=progress
-    )
+    stats = _collect_proteins_streaming(stream(), db_path, progress=progress)
     stats.Features = list(default_features or [])
 
     db_name = os.path.basename(os.path.normpath(db_path))
@@ -165,22 +260,7 @@ def build_db(
         OriginalFile=os.path.basename(input_path),
         DatabaseIndexed=False,
     )
-
-    artifact.save_db(
-        db_path,
-        stats=stats,
-        settings=settings,
-        protein_ids=ids,
-        protein_lengths=lengths,
-        entry_ids=entry_ids,
-        sequences=sequences,
-        features=features,
-        pairs=pairs,
-    )
-    # free the build arrays before indexing -- index_db re-reads them memory-
-    # mapped, and at 1M proteins this frame otherwise pins ~3 GB through the
-    # whole dedup pass
-    del ids, lengths, entry_ids, sequences, features, pairs
+    artifact.write_meta(db_path, stats, settings, indexed=False)
 
     if not no_index:
         index_db(db_path, progress=progress)
@@ -297,39 +377,126 @@ def dedup_sets(pairs: np.ndarray):
     return unique_kmers, set_id_per_kmer, set_offsets, postings
 
 
-def index_db(db_path: str, progress: bool = False) -> None:
+class _NpyStreamWriter:
+    """Append-only .npy writer (buffered file I/O, not memmap -- dirty
+    mapped pages count against RSS).  A fixed 128-byte header is patched
+    with the final shape on close."""
+
+    _HLEN = 128
+
+    def __init__(self, path: str, descr: str):
+        self.path = path
+        self.descr = descr
+        self.count = 0
+        self.f = open(path, "wb")
+        self.f.write(b"\x00" * self._HLEN)
+
+    def write(self, arr: np.ndarray) -> None:
+        arr.tofile(self.f)
+        self.count += arr.shape[0]
+
+    def close(self) -> None:
+        head = (f"{{'descr': '{self.descr}', 'fortran_order': False, "
+                f"'shape': ({self.count},), }}").encode()
+        body = head + b" " * (self._HLEN - 10 - 1 - len(head)) + b"\n"
+        self.f.seek(0)
+        self.f.write(b"\x93NUMPY\x01\x00")
+        self.f.write(np.uint16(len(body)).tobytes())
+        self.f.write(body)
+        self.f.close()
+
+
+def _group_end(pairs: np.ndarray, j: int, n: int) -> int:
+    """Smallest index >= j where the k-mer changes from pairs[j-1]'s (so a
+    range cut never splits a k-mer's group)."""
+    key = np.uint64(int(pairs[j - 1]) >> 32)
+    B = 1 << 20
+    while j < n:
+        blk = np.asarray(pairs[j : j + B]) >> np.uint64(32)
+        idx = np.flatnonzero(blk != key)
+        if idx.size:
+            return j + int(idx[0])
+        j += blk.shape[0]
+    return n
+
+
+def index_db(db_path: str, progress: bool = False,
+             chunk_pairs: int = 0) -> None:
     """indexdb equivalent (reference indexdb.go:34-66): turn the sorted pair
-    representation into the servable hash-table + CSR postings artifact."""
+    representation into the servable hash-table + CSR postings artifact.
+
+    Out-of-core discipline: pairs stream through dedup_sets in k-mer RANGES
+    of ~chunk_pairs (default: the spill budget) -- the pairs are k-mer
+    sorted, so every group falls entirely inside one range.  Set dedup is
+    therefore range-local: a protein set shared by k-mers in different
+    ranges is stored once per range (slightly larger artifact, identical
+    search results; the reference's global KComb dedup trades the same
+    memory for disk the other way, kcomb_store.go:42-63).  Postings and set
+    offsets append straight to disk, so peak memory is ~15x the RANGE bytes
+    plus the O(unique-kmers) key/value arrays the final hash table needs
+    anyway.
+
+    Writes the index files in place next to the untouched protein columns
+    (the reference likewise swaps in a new kmer_store and leaves the protein
+    store alone, indexdb.go:53-55) -- re-materializing the columns here
+    would defeat the out-of-core build."""
     db = artifact.load_db(db_path, mmap=True)
     if db.indexed:
         raise ValueError(f"{db_path} is already indexed")
     if progress:
         print("# Creating key combination store")
 
-    # pairs stays a read-only memmap: dedup_sets streams it once and frees
-    # each intermediate, keeping index memory ~5x under the pair volume
-    unique_kmers, set_ids, set_offsets, postings = dedup_sets(db.pairs)
-    ht = build_table(unique_kmers, set_ids)
+    pairs = db.pairs
+    n = pairs.shape[0]
+    chunk = chunk_pairs or max(1 << 20, _spill_budget() // 8)
 
-    db.stats.NumberOfKCombSets = int(set_offsets.size - 1)
+    uk_chunks: List[np.ndarray] = []
+    sid_chunks: List[np.ndarray] = []
+    posts_w = _NpyStreamWriter(os.path.join(db_path, "postings.npy.tmp"),
+                               "<u4")
+    offs_w = _NpyStreamWriter(os.path.join(db_path, "set_offsets.npy.tmp"),
+                              "<u8")
+    offs_w.write(np.zeros(1, dtype=np.uint64))
+    set_base = 0
+    post_base = 0
+    i = 0
+    while i < n:
+        j = min(n, i + chunk)
+        if j < n:
+            j = _group_end(pairs, j, n)
+        uk, sid, so, post = dedup_sets(np.asarray(pairs[i:j]))
+        uk_chunks.append(uk)
+        sid_chunks.append(sid + np.uint32(set_base))
+        offs_w.write(so[1:] + np.uint64(post_base))
+        posts_w.write(post)
+        set_base += so.shape[0] - 1
+        post_base += post.shape[0]
+        i = j
+        if progress and n:
+            print(f"# indexed {i * 100 // n}% of pairs")
+    posts_w.close()
+    offs_w.close()
+
+    unique_kmers = (np.concatenate(uk_chunks) if uk_chunks
+                    else np.empty(0, np.uint32))
+    uk_chunks.clear()
+    set_ids = (np.concatenate(sid_chunks) if sid_chunks
+               else np.empty(0, np.uint32))
+    sid_chunks.clear()
+    ht = build_table(unique_kmers, set_ids)
+    del unique_kmers, set_ids
+
+    db.stats.NumberOfKCombSets = set_base
     db.settings.DatabaseIndexed = True
 
-    entry_ids = [db._entry_ids.get(i) for i in range(db.num_proteins)]
-    sequences = [db._sequences.get(i) for i in range(db.num_proteins)]
-    features = [db._features.get(i) for i in range(db.num_proteins)]
-
-    artifact.save_db(
-        db_path,
-        stats=db.stats,
-        settings=db.settings,
-        protein_ids=np.asarray(db.protein_ids),
-        protein_lengths=np.asarray(db.protein_lengths),
-        entry_ids=entry_ids,
-        sequences=sequences,
-        features=features,
-        hash_table=ht.table,
-        hash_primary_log2=ht.primary_log2,
-        hash_secondary_log2=ht.secondary_log2,
-        set_offsets=set_offsets,
-        postings=postings,
-    )
+    np.save(os.path.join(db_path, "hash_table.npy"), ht.table)
+    for name in ("postings.npy", "set_offsets.npy"):
+        os.replace(os.path.join(db_path, name + ".tmp"),
+                   os.path.join(db_path, name))
+    artifact.write_meta(db_path, db.stats, db.settings, indexed=True,
+                        hash_primary_log2=ht.primary_log2,
+                        hash_secondary_log2=ht.secondary_log2)
+    pairs_file = os.path.join(db_path, "pairs.npy")
+    db.pairs = None  # drop the memmap before unlinking
+    if os.path.exists(pairs_file):
+        os.remove(pairs_file)
