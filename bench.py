@@ -134,7 +134,14 @@ def main() -> None:
     from kaamer_tpu.index.artifact import load_db
     from kaamer_tpu.search.engine import SearchEngine
 
-    art = load_db(db_path)
+    try:
+        art = load_db(db_path)
+    except ValueError:  # stale cache from an older index format: rebuild
+        import shutil
+
+        shutil.rmtree(db_path, ignore_errors=True)
+        build_synthetic_db(db_path)
+        art = load_db(db_path)
     engine = SearchEngine(art)
 
     rng = np.random.default_rng(99)

@@ -83,7 +83,7 @@ def run_opendb(args) -> None:
     art = load_db(args.d)
     engine = SearchEngine(art)
     # force device residency
-    _ = engine.table2.block_until_ready()
+    _ = engine.table.block_until_ready()
     print(f"opendb: {time.perf_counter() - t0:.2f}s, "
           f"{art.num_proteins} proteins, "
           f"{len(engine.postings_np)} postings")

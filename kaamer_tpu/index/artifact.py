@@ -11,7 +11,8 @@ directory of memory-mappable numpy arrays and string blobs:
       sequences.bin/.off
       features.bin/.off     JSON-encoded feature dict per protein
       pairs.npy             uint64[(kmer<<32)|row], sorted  (unindexed DBs)
-      hash_table.npy        uint64[H]  (kmer<<32)|set_id    (indexed DBs)
+      hash_table.npy        uint32[rows, 6] cuckoo [k0,s0,l0,k1,s1,l1]
+                            (indexed DBs; see index/hashtable.py)
       set_offsets.npy       uint64[S+1]
       postings.npy          uint32[P]  dense protein rows
 
@@ -33,7 +34,10 @@ import numpy as np
 
 from ..records import KSettings, KStats, Protein
 
-FORMAT_VERSION = 1
+# v2: hash_table.npy switched from the two-level uint64 bucket layout to the
+# uint32[rows, 6] cuckoo layout with inline (start, len) values
+FORMAT_VERSION = 2
+HASH_KIND = "cuckoo22"
 
 
 def _write_blob(path_base: str, blobs: List[bytes]):
@@ -81,9 +85,8 @@ class DBArtifact:
     _sequences: _BlobReader = None
     _features: _BlobReader = None
     # indexed representation
-    hash_table: Optional[np.ndarray] = None   # uint64[H]
-    hash_primary_log2: int = 0
-    hash_secondary_log2: int = 0
+    hash_table: Optional[np.ndarray] = None   # uint32[rows, 6] cuckoo
+    hash_log2: int = 0
     set_offsets: Optional[np.ndarray] = None  # uint64[S+1]
     postings: Optional[np.ndarray] = None     # uint32[P]
     # unindexed representation
@@ -118,8 +121,7 @@ def write_meta(
     stats: KStats,
     settings: KSettings,
     indexed: bool,
-    hash_primary_log2: int = 0,
-    hash_secondary_log2: int = 0,
+    hash_log2: int = 0,
 ) -> None:
     meta = {
         "format_version": FORMAT_VERSION,
@@ -128,8 +130,8 @@ def write_meta(
         "stats": stats.to_json_obj(),
         "settings": settings.to_json_obj(),
         "hash": {
-            "primary_log2": hash_primary_log2,
-            "secondary_log2": hash_secondary_log2,
+            "kind": HASH_KIND,
+            "log2": hash_log2,
         },
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -198,8 +200,7 @@ def save_db(
     features: List[bytes],
     pairs: Optional[np.ndarray] = None,
     hash_table: Optional[np.ndarray] = None,
-    hash_primary_log2: int = 0,
-    hash_secondary_log2: int = 0,
+    hash_log2: int = 0,
     set_offsets: Optional[np.ndarray] = None,
     postings: Optional[np.ndarray] = None,
 ):
@@ -221,8 +222,7 @@ def save_db(
     else:
         np.save(os.path.join(path, "pairs.npy"), pairs.astype(np.uint64, copy=False))
 
-    write_meta(path, stats, settings, indexed,
-               hash_primary_log2, hash_secondary_log2)
+    write_meta(path, stats, settings, indexed, hash_log2)
 
 
 def load_db(path: str, mmap: bool = True) -> DBArtifact:
@@ -243,9 +243,13 @@ def load_db(path: str, mmap: bool = True) -> DBArtifact:
         _features=_BlobReader(os.path.join(path, "features"), mmap),
     )
     if indexed:
+        if meta["hash"].get("kind") != HASH_KIND:
+            raise ValueError(
+                f"{path}: unsupported index format "
+                f"{meta['hash'].get('kind', 'two-level-v1')!r}; rebuild the "
+                f"database with makedb/indexdb (expected {HASH_KIND!r})")
         art.hash_table = np.load(os.path.join(path, "hash_table.npy"), mmap_mode=mm)
-        art.hash_primary_log2 = meta["hash"]["primary_log2"]
-        art.hash_secondary_log2 = meta["hash"]["secondary_log2"]
+        art.hash_log2 = meta["hash"]["log2"]
         art.set_offsets = np.load(os.path.join(path, "set_offsets.npy"), mmap_mode=mm)
         art.postings = np.load(os.path.join(path, "postings.npy"), mmap_mode=mm)
     else:

@@ -14,7 +14,8 @@ Here the same result is produced as one vectorized pipeline over flat arrays:
      reference's RemoveDuplicatesFromSlice handles (kv_store.go:284-305);
   3. group by k-mer; deduplicate identical protein sets (the KComb concept)
      by double-64-bit segment hashing;
-  4. build the open-addressing kmer -> set_id table (hashtable.build_table).
+  4. build the cuckoo k-mer table with inline (start, len) postings slices
+     (hashtable.build_table).
 
 An unindexed build (-noindex) stops after step 2 and persists the sorted
 pairs, which keeps split builds mergeable (mergedb semantics).
@@ -451,7 +452,8 @@ def index_db(db_path: str, progress: bool = False,
     chunk = chunk_pairs or max(1 << 20, _spill_budget() // 8)
 
     uk_chunks: List[np.ndarray] = []
-    sid_chunks: List[np.ndarray] = []
+    st_chunks: List[np.ndarray] = []
+    len_chunks: List[np.ndarray] = []
     posts_w = _NpyStreamWriter(os.path.join(db_path, "postings.npy.tmp"),
                                "<u4")
     offs_w = _NpyStreamWriter(os.path.join(db_path, "set_offsets.npy.tmp"),
@@ -466,7 +468,12 @@ def index_db(db_path: str, progress: bool = False,
             j = _group_end(pairs, j, n)
         uk, sid, so, post = dedup_sets(np.asarray(pairs[i:j]))
         uk_chunks.append(uk)
-        sid_chunks.append(sid + np.uint32(set_base))
+        # the cuckoo table stores each k-mer's (start, len) postings slice
+        # inline (hashtable.py layout), so resolve the chunk-local set ids
+        # to global slice coordinates here
+        sid64 = sid.astype(np.int64)
+        st_chunks.append((so[sid64] + np.uint64(post_base)).astype(np.uint32))
+        len_chunks.append((so[sid64 + 1] - so[sid64]).astype(np.uint32))
         offs_w.write(so[1:] + np.uint64(post_base))
         posts_w.write(post)
         set_base += so.shape[0] - 1
@@ -476,15 +483,20 @@ def index_db(db_path: str, progress: bool = False,
             print(f"# indexed {i * 100 // n}% of pairs")
     posts_w.close()
     offs_w.close()
+    if post_base >= 2**31:
+        raise ValueError("postings larger than 2^31 need a sharded index")
 
     unique_kmers = (np.concatenate(uk_chunks) if uk_chunks
                     else np.empty(0, np.uint32))
     uk_chunks.clear()
-    set_ids = (np.concatenate(sid_chunks) if sid_chunks
-               else np.empty(0, np.uint32))
-    sid_chunks.clear()
-    ht = build_table(unique_kmers, set_ids)
-    del unique_kmers, set_ids
+    starts = (np.concatenate(st_chunks) if st_chunks
+              else np.empty(0, np.uint32))
+    st_chunks.clear()
+    lens = (np.concatenate(len_chunks) if len_chunks
+            else np.empty(0, np.uint32))
+    len_chunks.clear()
+    ht = build_table(unique_kmers, starts, lens)
+    del unique_kmers, starts, lens
 
     db.stats.NumberOfKCombSets = set_base
     db.settings.DatabaseIndexed = True
@@ -494,8 +506,7 @@ def index_db(db_path: str, progress: bool = False,
         os.replace(os.path.join(db_path, name + ".tmp"),
                    os.path.join(db_path, name))
     artifact.write_meta(db_path, db.stats, db.settings, indexed=True,
-                        hash_primary_log2=ht.primary_log2,
-                        hash_secondary_log2=ht.secondary_log2)
+                        hash_log2=ht.log2)
     pairs_file = os.path.join(db_path, "pairs.npy")
     db.pairs = None  # drop the memmap before unlinking
     if os.path.exists(pairs_file):

@@ -2,17 +2,18 @@
 
 The reference resolves each query k-mer with two Badger LSM point reads and a
 protobuf unmarshal inside a goroutine loop (search.go:419-437).  Here the
-entire batch is resolved against the in-HBM bucketed two-level table
-(index/hashtable.py) with exactly TWO dense row-gathers -- one per level --
-plus vectorized compares.  No data-dependent loops: on TPU a while-loop probe
-pays per-iteration launch overhead and worst-case cluster depth; the bucketed
-layout makes the probe shape static and load-independent.
+entire batch is resolved against the in-HBM cuckoo table
+(index/hashtable.py) with exactly TWO dense row-gathers -- one per hash
+choice -- plus vectorized compares.  No data-dependent loops: on TPU a
+while-loop probe pays per-iteration launch overhead and worst-case cluster
+depth; the 2-choice cuckoo layout makes the probe shape static and
+load-independent.
 
-Layout on device: one row of 16 uint32 PER BUCKET (columns 0..7 = keys,
-8..15 = values), so each probe level is a single whole-row gather of 64
-contiguous bytes per lane -- gather cost on TPU scales with the number of
-gathered rows, not bytes, so wide rows are ~8x cheaper than one row per slot.
-`bucketize_table` converts the on-disk packed-uint64 table to this layout.
+Measured cost model (scripts/probe_microbench.py, v5e): an XLA row-gather
+from HBM costs ~12ns fixed + ~0.2ns/byte, so the 24 B cuckoo rows with
+INLINE (start, len) postings slices beat both the previous 64 B 8-slot
+buckets and any separate set-offsets gather; the whole probe is
+2 x ~14ns = ~29ns per k-mer versus ~60ns for the two-level bucket design.
 """
 
 from __future__ import annotations
@@ -20,49 +21,38 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.hashtable import BUCKET_W, HASH_MULT, HASH_MULT2
+from ..index.hashtable import HASH_MULT, HASH_MULT2
 
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
 
 
-def bucketize_table(table_u64: np.ndarray) -> np.ndarray:
-    """uint64[(2^p+2^s)*W] -> uint32[n_buckets, 2*W] with keys in columns
-    [0, W) and values in columns [W, 2W)."""
-    arr = np.ascontiguousarray(table_u64).view(np.uint32)
-    arr = arr.reshape(-1, BUCKET_W, 2)  # little-endian: [...,0]=val, [...,1]=key
-    out = np.empty((arr.shape[0], 2 * BUCKET_W), dtype=np.uint32)
-    out[:, :BUCKET_W] = arr[:, :, 1]
-    out[:, BUCKET_W:] = arr[:, :, 0]
-    return out
+def probe_slices(table, queries, log2: int, miss_start):
+    """Look up the postings slice of a batch of k-mer codes.
 
+    table:    uint32[rows, 6] device array ([k0, s0, l0, k1, s1, l1] rows)
+    queries:  uint32[...] k-mer codes (all < 2^32-1)
+    returns:  (starts uint32[...], lens uint32[...]); misses and padding get
+              (miss_start, 0).
 
-def probe(table_b, queries, primary_log2: int, secondary_log2: int, miss_value):
-    """Look up a batch of k-mer codes.
-
-    table_b:  uint32[n_buckets, 2*W] device array (bucketize_table layout;
-              primary buckets first, then secondary)
-    queries:  uint32[...] k-mer codes
-    returns:  uint32[...] values; `miss_value` where absent.
+    Each key occupies exactly one slot of its two candidate rows, so the hit
+    value is recovered as a masked sum (cheaper than chained selects on the
+    VPU).  The only way two compared slots can both match is h1(q) == h2(q)
+    (the same row gathered twice), so each check masks out already-found
+    lanes to avoid double-accumulating in that case.
     """
     shape = queries.shape
     q = queries.reshape(-1)
-    m = q.shape[0]
 
-    out = jnp.full((m,), miss_value, dtype=jnp.uint32)
-    found = jnp.zeros((m,), dtype=jnp.bool_)
-
-    levels = (
-        (0, HASH_MULT, np.uint32(32 - primary_log2)),
-        (1 << primary_log2, HASH_MULT2, np.uint32(32 - secondary_log2)),
-    )
-    for base, mult, shift in levels:
-        bucket = (base + ((q * mult) >> shift)).astype(jnp.int32)
-        rows = jnp.take(table_b, bucket, axis=0)              # [m, 2W]
-        keys = rows[:, :BUCKET_W]
-        vals = rows[:, BUCKET_W:]
-        hit = keys == q[:, None]                              # at most one slot
-        anyhit = hit.any(axis=1)
-        val = jnp.where(hit, vals, 0).sum(axis=1).astype(jnp.uint32)
-        out = jnp.where(jnp.logical_and(anyhit, jnp.logical_not(found)), val, out)
-        found = jnp.logical_or(found, anyhit)
-    return out.reshape(shape)
+    start_acc = jnp.zeros(q.shape, dtype=jnp.uint32)
+    len_acc = jnp.zeros(q.shape, dtype=jnp.uint32)
+    found = jnp.zeros(q.shape, dtype=jnp.bool_)
+    for mult in (HASH_MULT, HASH_MULT2):
+        b = ((q * mult) >> np.uint32(32 - log2)).astype(jnp.int32)
+        rows = jnp.take(table, b, axis=0)  # [m, 6]
+        for s0 in (0, 3):
+            hit = (rows[:, s0] == q) & ~found
+            start_acc = start_acc + jnp.where(hit, rows[:, s0 + 1], 0)
+            len_acc = len_acc + jnp.where(hit, rows[:, s0 + 2], 0)
+            found = found | hit
+    starts = jnp.where(found, start_acc, jnp.uint32(miss_start))
+    return starts.reshape(shape), len_acc.reshape(shape)

@@ -22,10 +22,17 @@ Selenocysteine handling matches: 'U'/'u' is replaced by '*' before alignment
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Tuple
 
 import numpy as np
+
+_log = logging.getLogger("kaamer_tpu.swalign")
+# logged once per process: the Pallas kernel silently falling back to host
+# DP on the real chip would otherwise be invisible (it only changes speed,
+# never results)
+_fallback_logged = False
 
 from ..records import KStats
 from .matrices import LETTER_INDEX, MatrixScores, NoMatrixError, get_matrix_scores
@@ -163,7 +170,13 @@ def align_batch(
             from .swalign_pallas import align_pairs
 
             ops = align_pairs(pairs, scores)
-        except Exception:
+        except Exception as e:
+            global _fallback_logged
+            if not _fallback_logged:
+                _fallback_logged = True
+                _log.warning(
+                    "Pallas SW kernel unavailable, aligning on host "
+                    "(%s: %s)", type(e).__name__, e)
             ops = None
     if ops is None:
         ops = []

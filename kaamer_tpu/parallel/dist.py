@@ -103,7 +103,6 @@ class ShardedSearchEngine(PositionBitmapServing):
 
         self.sharded = shard_index(art, self.n_shards)
         self.tables = jnp.asarray(self.sharded.tables)
-        self.set_starts = jnp.asarray(self.sharded.set_starts)
         self.postings = jnp.asarray(self.sharded.postings)
         self._fn_cache = {}
 
@@ -118,8 +117,7 @@ class ShardedSearchEngine(PositionBitmapServing):
         key = (cap, k, width, positions)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sharded_search(
-                self.mesh, self.sharded.n_sets_padded,
-                self.sharded.primary_log2, self.sharded.secondary_log2,
+                self.mesh, self.sharded.hash_log2,
                 cap=cap, k=k, width=width, positions=positions,
             )
         return self._fn_cache[key]
@@ -132,7 +130,7 @@ class ShardedSearchEngine(PositionBitmapServing):
         import jax.numpy as jnp
 
         outs = self._fn(cap, k_eff, width, positions)(
-            self.tables, self.set_starts, self.postings,
+            self.tables, self.postings,
             jnp.asarray(wire_np), jnp.asarray(n_np),
         )
         for arr in outs:
@@ -290,9 +288,9 @@ class ShardedSearchEngine(PositionBitmapServing):
                         n_kmers: int, k: int):
         from ..search.engine import QueryCounts
 
-        ids = slices.host()[i, :n_kmers].astype(np.int64)
+        offs = slices.host()[i, :n_kmers].astype(np.int64)
         starts = self.set_starts_np
-        offs = starts[ids]
+        ids = np.searchsorted(starts, offs, side="left")
         lens = starts[ids + 1] - starts[ids]
         segs = [self.postings_np[int(o): int(o) + int(l)]
                 for o, l in zip(offs, lens) if l > 0]
@@ -313,37 +311,36 @@ class ShardedSearchEngine(PositionBitmapServing):
         return qc
 
 class _LazyBatchSlices:
-    """Per-batch lazy global k-mer -> set-id resolution for position
-    lookups: one vectorized host probe for the whole batch, computed only
-    if some query actually needs position bitmaps (mirrors the single-chip
-    engine's lazy device-ids pull)."""
+    """Per-batch lazy global k-mer -> slice-start resolution for position
+    lookups: one vectorized host probe of the global artifact table for the
+    whole batch, computed only if some query actually needs position bitmaps
+    (mirrors the single-chip engine's lazy device-offs pull)."""
 
     def __init__(self, engine: "ShardedSearchEngine", seqs, sizes):
         self._engine = engine
         self._seqs = seqs
         self._sizes = sizes
-        self._ids = None
+        self._offs = None
 
     def host(self) -> np.ndarray:
-        if self._ids is None:
+        if self._offs is None:
             from .. import codec
-            from ..index.hashtable import KmerHashTable, lookup_np
+            from ..index.hashtable import CuckooTable, lookup_np
 
             eng = self._engine
             if not hasattr(eng, "_ht"):
-                eng._ht = KmerHashTable(
+                eng._ht = CuckooTable(
                     table=np.asarray(eng.art.hash_table),
-                    primary_log2=eng.art.hash_primary_log2,
-                    secondary_log2=eng.art.hash_secondary_log2,
+                    log2=eng.art.hash_log2,
                 )
-            n_sets = eng.set_starts_np.size - 2
+            miss = int(eng.set_starts_np[-1])  # global P -> empty-set id
             L = max(self._sizes) if self._sizes else 1
             width = L + KMER_SIZE - 1
             codes = codec.pad_codes_batch(self._seqs, width)
             kmers = codec.encode_kmers_batch(codes.astype(np.int32))  # [B, L]
-            ids = lookup_np(eng._ht, kmers.reshape(-1), missing=n_sets)
-            ids = ids.reshape(kmers.shape).astype(np.uint32)
+            starts, _ = lookup_np(eng._ht, kmers.reshape(-1), miss_start=miss)
+            starts = starts.reshape(kmers.shape).astype(np.uint32)
             lane = np.arange(L)[None, :]
             sizes = np.asarray(self._sizes)[:, None]
-            self._ids = np.where(lane < sizes, ids, np.uint32(n_sets))
-        return self._ids
+            self._offs = np.where(lane < sizes, starts, np.uint32(miss))
+        return self._offs

@@ -27,7 +27,7 @@ from typing import Tuple
 
 import numpy as np
 
-from ..index.hashtable import BUCKET_W, EMPTY_SLOT, HASH_MULT, build_table
+from ..index.hashtable import HASH_MULT, build_table, occupied_entries
 from ..index.artifact import DBArtifact
 
 KMER_SIZE = 7
@@ -41,22 +41,15 @@ def _next_pow2(n: int) -> int:
 class ShardedIndexArrays:
     """Host-side per-shard index arrays, padded to uniform shapes.
 
-    tables:      uint32[n_shards, n_buckets, 2*W]  (probe.bucketize_table)
-    set_starts:  int32[n_shards, S_max + 1, 2]     ((start, len) per set;
-                 the sentinel empty set is row S_max)
+    tables:      uint32[n_shards, rows, 6]  (hashtable.py cuckoo layout,
+                 values = shard-LOCAL postings (start, len) inline)
     postings:    uint32[n_shards, P_max]
     """
 
     tables: np.ndarray
-    set_starts: np.ndarray
     postings: np.ndarray
-    primary_log2: int
-    secondary_log2: int
+    hash_log2: int
     n_shards: int
-
-    @property
-    def n_sets_padded(self) -> int:
-        return self.set_starts.shape[1] - 1
 
 
 def shard_owner(kmers: np.ndarray, n_shards: int) -> np.ndarray:
@@ -83,26 +76,20 @@ def shard_index_arrays(
     postings: np.ndarray,
     n_shards: int,
 ) -> ShardedIndexArrays:
-    table = np.ascontiguousarray(hash_table)
-    occupied = table != EMPTY_SLOT
-    entries = table[occupied]
-    kmers = (entries >> np.uint64(32)).astype(np.uint32)
-    set_ids = (entries & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    kmers, g_starts, g_lens = occupied_entries(np.ascontiguousarray(hash_table))
+    # dense global set ids, recovered from the inline starts (set starts are
+    # strictly increasing; see hashtable.py)
+    set_ids = np.searchsorted(set_offsets, g_starts.astype(np.uint64),
+                              side="left").astype(np.uint32)
 
     global_starts = set_offsets
 
     owners = shard_owner(kmers, n_shards)
 
-    shard_starts = []
     shard_posts = []
     shard_keys = []
-    shard_vals = []
-    # first pass: compute per-shard sizes to pick a common primary log2
-    shard_kmer_count = np.bincount(owners, minlength=n_shards)
-    common_p = max(
-        4, int(np.ceil(np.log2(max(int(shard_kmer_count.max()), 2) / (BUCKET_W // 2))))
-    )
-
+    shard_starts_v = []
+    shard_lens_v = []
     for s in range(n_shards):
         sel = owners == s
         k_s = kmers[sel]
@@ -122,48 +109,34 @@ def shard_index_arrays(
         post_local[:] = postings[src]
 
         shard_keys.append(k_s)
-        shard_vals.append(local_ids.astype(np.uint32))
-        shard_starts.append(starts_local)
+        shard_starts_v.append(starts_local[local_ids].astype(np.uint32))
+        shard_lens_v.append(lens[local_ids].astype(np.uint32))
         shard_posts.append(post_local)
 
-    # build with a shared structure; grow the common secondary log2 until
-    # every shard fits, so all tables are shape-identical
-    common_s = 0
+    # build with a shared table size so all shard tables stack shape-
+    # identically; grow the common log2 until every shard converges at it
+    common_t = 0
     while True:
         shard_tables = [
-            build_table(k, v, min_log2=common_p, min_secondary_log2=common_s)
-            for k, v in zip(shard_keys, shard_vals)
+            build_table(k, st, ln, min_log2=common_t)
+            for k, st, ln in zip(shard_keys, shard_starts_v, shard_lens_v)
         ]
-        s_max = max(t.secondary_log2 for t in shard_tables)
-        if all(t.secondary_log2 == s_max for t in shard_tables):
-            common_s = s_max
+        t_max = max(t.log2 for t in shard_tables)
+        if all(t.log2 == t_max for t in shard_tables):
+            common_t = t_max
             break
-        common_s = s_max
-    shard_tables = [t.table for t in shard_tables]
+        common_t = t_max
 
-    S_max = max(st.size - 1 for st in shard_starts)
     P_max = max(1, _next_pow2(max(p.size for p in shard_posts)))
-
-    from ..ops.probe import bucketize_table
-
-    tables = np.stack([bucketize_table(t) for t in shard_tables])
-    # (start, len) per set row, padded sets empty (len 0)
-    starts_pad = np.zeros((n_shards, S_max + 1, 2), dtype=np.int32)
+    tables = np.stack([t.table for t in shard_tables])
     posts_pad = np.zeros((n_shards, P_max), dtype=np.uint32)
     for s in range(n_shards):
-        st = shard_starts[s].astype(np.int32)
-        n_local = st.size - 1
-        starts_pad[s, :n_local, 0] = st[:-1]
-        starts_pad[s, :n_local, 1] = st[1:] - st[:-1]
-        starts_pad[s, n_local:, 0] = st[-1]
         posts_pad[s, : shard_posts[s].size] = shard_posts[s]
 
     return ShardedIndexArrays(
         tables=tables,
-        set_starts=starts_pad,
         postings=posts_pad,
-        primary_log2=common_p,
-        secondary_log2=common_s,
+        hash_log2=common_t,
         n_shards=n_shards,
     )
 
@@ -173,13 +146,12 @@ def shard_index_arrays(
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
-                        secondary_log2: int, cap: int, k: int,
+def make_sharded_search(mesh, hash_log2: int, cap: int, k: int,
                         width: int = 0, positions: bool = False):
     """Build the jitted multi-device search step over `mesh` with axes
     ("dp", "shard").
 
-    Returns fn(tables, set_starts, postings, codes, n_kmers) ->
+    Returns fn(tables, postings, codes, n_kmers) ->
     (counts int32[B, k], hit_rows uint32[B, k], totals int32[B]
     [, bitmaps uint8[B, k, L//8]]) with B divisible by dp * shard sizes.
     `codes` is int32[B, L+6] residue codes, or -- when width == L+6 is given
@@ -201,31 +173,29 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
     from .. import codec
     from ..ops.count import (count_topk, gather_postings,
                              member_bitmap_from_rows, pack_bits)
-    from ..ops.probe import probe
+    from ..ops.probe import probe_slices
 
-    def local_step(table_b, set_starts, postings, codes, n_kmers):
+    def local_step(table_b, postings, codes, n_kmers):
         # shapes inside shard_map (per device):
-        # table_b [1, nb, 2W]; set_starts [1, S+1, 2]; postings [1, P];
-        # codes [B_dp, ...] (replicated over "shard"); n_kmers [B_dp]
+        # table_b [1, rows, 6] (shard-local (start, len) inline);
+        # postings [1, P]; codes [B_dp, ...] (replicated over "shard");
+        # n_kmers [B_dp]
         table_b = table_b[0]
-        set_starts = set_starts[0]
         postings = postings[0]
 
         if width:
             codes_i = codec.unpack_codes7_jnp(codes, width)
         else:
             codes_i = codes
-        B = codes_i.shape[0]
         L = codes_i.shape[1] - (KMER_SIZE - 1)
         kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes_i)
-        ids = probe(table_b, kmers, primary_log2, secondary_log2,
-                    miss_value=np.uint32(n_sets_padded))
+        # miss_start is irrelevant on the sharded path (lens 0 masks the
+        # miss everywhere; host position lookups use the global artifact)
+        starts, lens = probe_slices(table_b, kmers, hash_log2, miss_start=0)
         lane = jnp.arange(L, dtype=jnp.int32)[None, :]
-        ids = jnp.where(lane < n_kmers[:, None], ids, jnp.uint32(n_sets_padded))
-        ids_i = ids.astype(jnp.int32)
-        sl = jnp.take(set_starts, ids_i.reshape(-1), axis=0).reshape(B, L, 2)
-        offs = sl[:, :, 0]
-        lens = sl[:, :, 1]
+        in_query = lane < n_kmers[:, None]
+        offs = jnp.where(in_query, starts, 0).astype(jnp.int32)
+        lens = jnp.where(in_query, lens, 0).astype(jnp.int32)
         cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
         total = cum[:, -1]
 
@@ -263,7 +233,6 @@ def make_sharded_search(mesh, n_sets_padded: int, primary_log2: int,
         mesh=mesh,
         in_specs=(
             P("shard", None, None),   # tables
-            P("shard", None, None),   # set_starts
             P("shard", None),         # postings
             P("dp", None),            # codes (replicated over shard)
             P("dp",),                 # n_kmers

@@ -91,9 +91,12 @@ class QueryCounts:
 
     def _materialize_slices(self):
         if self._offs is None:
-            ids = self._batch.host()[self._row, : self._n_kmers].astype(np.int64)
+            offs = self._batch.host()[self._row, : self._n_kmers].astype(np.int64)
             starts = self._engine.set_starts_np
-            self._offs = starts[ids].astype(np.int64)
+            # slice start -> dense set id (strictly increasing starts; the
+            # miss sentinel start == P maps to the empty set row n_sets)
+            ids = np.searchsorted(starts, offs, side="left")
+            self._offs = offs
             self._lens = (starts[ids + 1] - starts[ids]).astype(np.int64)
 
     @property
@@ -108,8 +111,9 @@ class QueryCounts:
 
 
 class _BatchIds:
-    """Shared handle to a batch's device-resident per-k-mer set ids; pulled
-    to host at most once, and only if some query needs position bitmaps."""
+    """Shared handle to a batch's device-resident per-k-mer slice starts;
+    pulled to host at most once, and only if some query needs position
+    bitmaps (set ids are recovered host-side by searchsorted)."""
 
     def __init__(self, ids_dev):
         self._dev = ids_dev
@@ -185,32 +189,29 @@ class SearchEngine(PositionBitmapServing):
         self._jax = jax
         self.art = art
 
-        from ..ops.probe import bucketize_table
-
-        self.table2 = jnp.asarray(bucketize_table(np.asarray(art.hash_table)))
+        # the cuckoo table carries each k-mer's (start, len) inline, so the
+        # device probe needs no set-offsets indirection (ops/probe.py)
+        self.table = jnp.asarray(np.asarray(art.hash_table))
         so = np.asarray(art.set_offsets)
         if so.size and int(so[-1]) >= 2**31:
             raise ValueError("postings larger than 2^31 need a sharded index")
-        # +sentinel "empty set" row used for probe misses and padding lanes
+        # +sentinel "empty set" row used for probe misses and padding lanes:
+        # a miss reports start == P (== set_starts_np[n_sets]), len 0, and
+        # np.searchsorted(set_starts_np, start) recovers the dense set id
+        # (starts are strictly increasing; P maps to the sentinel n_sets)
         self.set_starts_np = np.concatenate([so, so[-1:]]).astype(np.int32)
-        # (start, len) per set so offsets resolve in ONE row-gather
-        starts2 = np.empty((self.set_starts_np.size - 1, 2), dtype=np.int32)
-        starts2[:, 0] = self.set_starts_np[:-1]
-        starts2[:, 1] = self.set_starts_np[1:] - self.set_starts_np[:-1]
-        self.set_starts = jnp.asarray(starts2)
         self.postings_np = np.asarray(art.postings)
         self.postings = jnp.asarray(self.postings_np)
         self.n_sets = int(so.size - 1)
-        self.primary_log2 = art.hash_primary_log2
-        self.secondary_log2 = art.hash_secondary_log2
+        self.miss_start = int(so[-1]) if so.size else 0
+        self.hash_log2 = art.hash_log2
         self._cap_hint = CAP_MIN
 
         self._fused = jax.jit(
             partial(
                 _fused_impl,
-                n_sets=self.n_sets,
-                primary_log2=self.primary_log2,
-                secondary_log2=self.secondary_log2,
+                hash_log2=self.hash_log2,
+                miss_start=self.miss_start,
             ),
             static_argnames=("cap", "k", "width", "positions"),
         )
@@ -273,7 +274,7 @@ class SearchEngine(PositionBitmapServing):
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
         pos_dev = positions and _positions_on_device(cap, k_eff, L)
         outs = self._fused(
-            self.table2, self.set_starts, self.postings,
+            self.table, self.postings,
             codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
             positions=pos_dev,
         )
@@ -382,7 +383,7 @@ class SearchEngine(PositionBitmapServing):
                 n2[j] = sizes[i]
             pos_dev = positions and _positions_on_device(cap2, k2, L)
             outs = self._fused(
-                self.table2, self.set_starts, self.postings,
+                self.table, self.postings,
                 jnp.asarray(wire2), jnp.asarray(n2),
                 cap=cap2, k=k2, width=L + KMER_SIZE - 1, positions=pos_dev,
             )
@@ -404,9 +405,9 @@ class SearchEngine(PositionBitmapServing):
 
     def _count_host_row(self, batch_ids: "_BatchIds", i: int, n_kmers: int, k: int) -> QueryCounts:
         """Unbounded host fallback (np.bincount) for postings-heavy queries."""
-        ids = batch_ids.host()[i, :n_kmers].astype(np.int64)
+        offs = batch_ids.host()[i, :n_kmers].astype(np.int64)
         starts = self.set_starts_np
-        offs = starts[ids].astype(np.int64)
+        ids = np.searchsorted(starts, offs, side="left")
         lens = (starts[ids + 1] - starts[ids]).astype(np.int64)
         segs = [
             self.postings_np[int(o) : int(o) + int(l)]
@@ -460,35 +461,35 @@ class SearchEngine(PositionBitmapServing):
 # ---------------------------------------------------------------------------
 
 
-def _phase1_impl(table2, set_starts, codes, n_kmers, *, n_sets, primary_log2,
-                 secondary_log2, width: int = 0):
+def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
+                 width: int = 0):
     """codes: int8/int32[B, L+6] residue codes, or (width>0) a packed wire
     format with width == L+6: uint32 from codec.pack_codes7 (the serving
-    path) or uint16 from codec.pack_codes3 (dtype selects the decoder)."""
+    path) or uint16 from codec.pack_codes3 (dtype selects the decoder).
+
+    The cuckoo probe resolves each k-mer's (start, len) postings slice in
+    exactly two row-gathers (ops/probe.py); masked lanes and misses get
+    (miss_start, 0)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.probe import probe
+    from ..ops.probe import probe_slices
 
     if width:
         if codes.dtype == jnp.uint32:
             codes = codec.unpack_codes7_jnp(codes, width)
         else:
             codes = codec.unpack_codes3_jnp(codes, width)
-    B = codes.shape[0]
     L = codes.shape[1] - (KMER_SIZE - 1)
     codes = codes.astype(jnp.int32)
     kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes)
-    ids = probe(table2, kmers, primary_log2, secondary_log2, miss_value=np.uint32(n_sets))
+    starts, lens = probe_slices(table, kmers, hash_log2, miss_start)
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
-    ids = jnp.where(lane < n_kmers[:, None], ids, jnp.uint32(n_sets))
-    ids_i = ids.astype(jnp.int32)
-    # set_starts is [n_sets+1, 2] (start, len): one row-gather resolves both
-    sl = jnp.take(set_starts, ids_i.reshape(-1), axis=0).reshape(B, L, 2)
-    offs = sl[:, :, 0]
-    lens = sl[:, :, 1]
+    in_query = lane < n_kmers[:, None]
+    offs = jnp.where(in_query, starts, jnp.uint32(miss_start)).astype(jnp.int32)
+    lens = jnp.where(in_query, lens, 0).astype(jnp.int32)
     cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
-    return ids, offs, lens, cum
+    return offs, lens, cum
 
 
 def _phase2_impl(postings, offs, cum, *, cap: int, k: int):
@@ -500,28 +501,28 @@ def _phase2_impl(postings, offs, cum, *, cap: int, k: int):
     return counts, hit_rows
 
 
-def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
-                n_sets, primary_log2, secondary_log2, cap, k, width=0,
+def _fused_impl(table, postings, codes, n_kmers, *,
+                hash_log2, miss_start, cap, k, width=0,
                 positions=False):
     """Single-dispatch search step: unpack + probe + expand + count + rank.
 
     Returns (counts int32[B,k], hit_rows uint32[B,k], totals int32[B],
-    ids uint32[B,L][, bitmaps uint8[B,k,L//8]]); ids are returned for lazy
-    host-side position lookups.  With positions=True the per-hit k-mer
-    position bitmaps (reference StoreMatchPositions, search.go:442-452) are
-    computed on device from the expanded postings and shipped back
-    bit-packed, avoiding a separate ids download + host search per batch.
+    offs int32[B,L][, bitmaps uint8[B,k,L//8]]); offs (per-k-mer postings
+    slice starts) are returned for lazy host-side position lookups.  With
+    positions=True the per-hit k-mer position bitmaps (reference
+    StoreMatchPositions, search.go:442-452) are computed on device from the
+    expanded postings and shipped back bit-packed, avoiding a separate offs
+    download + host search per batch.
     """
     import jax.numpy as jnp
 
-    ids, offs, lens, cum = _phase1_impl(
-        table2, set_starts, codes, n_kmers,
-        n_sets=n_sets, primary_log2=primary_log2, secondary_log2=secondary_log2,
-        width=width,
+    offs, lens, cum = _phase1_impl(
+        table, codes, n_kmers,
+        hash_log2=hash_log2, miss_start=miss_start, width=width,
     )
     if not positions:
         counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
-        return counts, hit_rows, cum[:, -1], ids
+        return counts, hit_rows, cum[:, -1], offs
 
     from ..ops.count import count_topk, gather_postings, member_bitmap_from_rows, pack_bits
 
@@ -535,4 +536,4 @@ def _fused_impl(table2, set_starts, postings, codes, n_kmers, *,
     found = member_bitmap_from_rows(rows, seg, hit_rows, offs.shape[1])
     # rows with count 0 are sentinel padding; their bitmaps must be empty
     found = found & (counts[:, :, None] > 0)
-    return counts, hit_rows, cum[:, -1], ids, pack_bits(found)
+    return counts, hit_rows, cum[:, -1], offs, pack_bits(found)

@@ -54,13 +54,13 @@ cap = engine._cap_hint
 k_eff = 32
 
 # 1. pure device compute
-out = engine._fused(engine.table2, engine.set_starts, engine.postings,
+out = engine._fused(engine.table, engine.postings,
                     codes_dev, n_dev, cap=cap, k=k_eff)
 jax.block_until_ready(out)
 t0 = time.perf_counter()
 REPS = 10
 for _ in range(REPS):
-    out = engine._fused(engine.table2, engine.set_starts, engine.postings,
+    out = engine._fused(engine.table, engine.postings,
                         codes_dev, n_dev, cap=cap, k=k_eff)
 jax.block_until_ready(out)
 dt_dev = (time.perf_counter() - t0) / REPS

@@ -54,11 +54,10 @@ def timeit(name, fn, *args, **kw):
     return out
 
 
-p1 = jax.jit(partial(_phase1_impl, n_sets=engine.n_sets,
-                     primary_log2=engine.primary_log2,
-                     secondary_log2=engine.secondary_log2))
-ids, offs, lens, cum = timeit("phase1 (probe)", p1, engine.table2,
-                              engine.set_starts, codes_dev, n_dev)
+p1 = jax.jit(partial(_phase1_impl, hash_log2=engine.hash_log2,
+                     miss_start=engine.miss_start))
+offs, lens, cum = timeit("phase1 (probe)", p1, engine.table,
+                         codes_dev, n_dev)
 
 gp = jax.jit(partial(gather_postings, cap=CAP))
 total = cum[:, -1]
@@ -73,7 +72,6 @@ timeit("  jnp.sort only", srt, rows)
 
 fused = jax.jit(partial(
     __import__("kaamer_tpu.search.engine", fromlist=["x"])._fused_impl,
-    n_sets=engine.n_sets, primary_log2=engine.primary_log2,
-    secondary_log2=engine.secondary_log2, cap=CAP, k=K))
-timeit("fused total", fused, engine.table2, engine.set_starts,
-       engine.postings, codes_dev, n_dev)
+    hash_log2=engine.hash_log2, miss_start=engine.miss_start, cap=CAP, k=K))
+timeit("fused total", fused, engine.table, engine.postings,
+       codes_dev, n_dev)

@@ -8,19 +8,38 @@ from kaamer_tpu.index.hashtable import build_table, lookup_np
 def test_hashtable_roundtrip():
     rng = np.random.default_rng(0)
     keys = np.unique(rng.integers(0, 2**32 - 2, size=5000, dtype=np.uint32))
-    vals = np.arange(keys.size, dtype=np.uint32)
-    ht = build_table(keys, vals)
-    assert ht.primary_log2 >= 3
+    starts = np.arange(keys.size, dtype=np.uint32) * 3
+    lens = (np.arange(keys.size, dtype=np.uint32) % 7) + 1
+    ht = build_table(keys, starts, lens)
+    assert ht.log2 >= 3
+    # load factor respected (2 slots per row)
+    assert keys.size <= 2 * ht.rows * 0.8 + 1
 
-    got = lookup_np(ht, keys, missing=0xFFFF)
-    np.testing.assert_array_equal(got, vals)
+    got_s, got_l = lookup_np(ht, keys, miss_start=0xFFFF)
+    np.testing.assert_array_equal(got_s, starts)
+    np.testing.assert_array_equal(got_l, lens)
 
-    # absent keys miss
+    # absent keys miss with (miss_start, 0)
     absent = np.setdiff1d(
         rng.integers(0, 2**32 - 2, size=1000, dtype=np.uint32), keys
     )
-    got = lookup_np(ht, absent, missing=0xFFFF)
-    assert (got == 0xFFFF).all()
+    got_s, got_l = lookup_np(ht, absent, miss_start=0xFFFF)
+    assert (got_s == 0xFFFF).all() and (got_l == 0).all()
+
+
+def test_hashtable_dense_and_min_log2():
+    """A dense key set near the load threshold still converges, and
+    min_log2 forces a larger structurally-identical table."""
+    keys = np.arange(1, 60000, dtype=np.uint32)
+    starts = keys * 2
+    lens = np.ones_like(keys)
+    ht = build_table(keys, starts, lens)
+    got_s, got_l = lookup_np(ht, keys, miss_start=7)
+    np.testing.assert_array_equal(got_s, starts)
+    ht2 = build_table(keys, starts, lens, min_log2=ht.log2 + 2)
+    assert ht2.log2 == ht.log2 + 2
+    got_s2, _ = lookup_np(ht2, keys, miss_start=7)
+    np.testing.assert_array_equal(got_s2, starts)
 
 
 def test_dedup_sets_matches_bruteforce():

@@ -52,12 +52,9 @@ def test_sharded_matches_single_chip(db_and_queries):
     sharded = shard_index(art, n_shards=4)
     codes, n_kmers = replicate_query_batch(queries, sizes, batch_mult=8)
     cap = 1 << 14
-    fn = make_sharded_search(
-        mesh, sharded.n_sets_padded, sharded.primary_log2, sharded.secondary_log2,
-        cap=cap, k=32,
-    )
+    fn = make_sharded_search(mesh, sharded.hash_log2, cap=cap, k=32)
     counts, hit_rows, totals = fn(
-        sharded.tables, sharded.set_starts, sharded.postings, codes, n_kmers
+        sharded.tables, sharded.postings, codes, n_kmers
     )
     counts = np.asarray(counts)
     hit_rows = np.asarray(hit_rows)
@@ -72,13 +69,11 @@ def test_sharded_matches_single_chip(db_and_queries):
 
 
 def test_shard_owner_partitions_kmers(db_and_queries):
-    from kaamer_tpu.index.hashtable import EMPTY_SLOT
+    from kaamer_tpu.index.hashtable import occupied_entries
     from kaamer_tpu.parallel.mesh import shard_owner
 
     art, _ = db_and_queries
-    table = np.asarray(art.hash_table)
-    entries = table[table != EMPTY_SLOT]
-    kmers = (entries >> np.uint64(32)).astype(np.uint32)
+    kmers, _, _ = occupied_entries(np.asarray(art.hash_table))
     owners = shard_owner(kmers, 4)
     assert owners.min() >= 0 and owners.max() < 4
     # every k-mer deterministically owned by exactly one shard, and the
