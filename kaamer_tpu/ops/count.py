@@ -24,13 +24,15 @@ import numpy as np
 ROW_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
-def gather_postings(postings, offs, cum, total, cap: int):
+def gather_postings(postings, offs, cum, total, cap: int, wstart=None):
     """Expand per-k-mer postings slices into a dense [B, cap] row multiset.
 
     postings: uint32[P]      global postings array
     offs:     int32[B, L]    start offset of each k-mer's postings slice
     cum:      int32[B, L]    inclusive cumsum of slice lengths per query
     total:    int32[B]       total postings per query (== cum[:, -1])
+    wstart:   optional int32[B, L] per-position run weights (dedup_runs);
+              when given, also returns each entry's weight as a 4th output.
     Entries beyond `total` are ROW_SENTINEL.  Also returns seg, the k-mer
     position index each entry came from (for position bitmaps).
 
@@ -38,19 +40,27 @@ def gather_postings(postings, offs, cum, total, cap: int):
     count, seg[b,j] = sum_l [cum[b,l] <= j]: pure VPU work, which on TPU
     beats the gather-heavy binary search (vmapped searchsorted) by ~10x.
     The segment's exclusive start is recovered the same way, as
-    max_l cum[b,l]*[cum[b,l] <= j], saving another gather.
+    max_l cum[b,l]*[cum[b,l] <= j], saving another gather; entry weights
+    reuse the same masks (entry j is in segment l iff le[l-1] & ~le[l]),
+    so the weighted path adds no extra gather or comparison pass.
     """
     B, L = offs.shape
     # chunk the [B, L, cap_chunk] comparison volume to bound working set
     chunk = max(512, min(cap, (1 << 24) // max(L, 1)))
     segs = []
     prevs = []
+    ws = []
     for c0 in range(0, cap, chunk):
         c1 = min(cap, c0 + chunk)
         j3 = jnp.arange(c0, c1, dtype=jnp.int32)[None, None, :]
         le = cum[:, :, None] <= j3                                 # [B, L, c]
         segs.append(le.astype(jnp.int32).sum(axis=1))
         prevs.append(jnp.max(jnp.where(le, cum[:, :, None], 0), axis=1))
+        if wstart is not None:
+            le_prev = jnp.concatenate(
+                [jnp.ones_like(le[:, :1]), le[:, :-1]], axis=1)
+            in_seg = le_prev & ~le                                 # one l per j
+            ws.append((in_seg * wstart[:, :, None]).sum(axis=1))
     seg = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
     prev = prevs[0] if len(prevs) == 1 else jnp.concatenate(prevs, axis=1)
 
@@ -60,19 +70,27 @@ def gather_postings(postings, offs, cum, total, cap: int):
     valid = j < total[:, None]
     src = jnp.where(valid, src, 0)
     rows = jnp.where(valid, jnp.take(postings, src.reshape(-1)).reshape(B, cap), ROW_SENTINEL)
-    return rows, seg_cl, valid
+    if wstart is None:
+        return rows, seg_cl, valid
+    w = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=1)
+    return rows, seg_cl, valid, jnp.where(valid, w, 0)
 
 
-def count_topk(rows, k: int):
+def count_topk(rows, k: int, weights=None):
     """Sort each query's row multiset, RLE it, and return the top-k
     (count, row) pairs.  Padding sentinels sort to the end and are excluded.
 
-    rows: uint32[B, cap]
+    rows: uint32[B, cap]; weights: optional int32[B, cap] per-entry
+    multiplicities (from run-deduplicated expansion, see dedup_runs) -- a
+    run's count is then the sum of its weights rather than its length.
     returns (counts int32[B, k], hit_rows uint32[B, k]); absent entries have
     count 0.
     """
     cap = rows.shape[1]
-    s = jnp.sort(rows, axis=1)
+    if weights is None:
+        s = jnp.sort(rows, axis=1)
+    else:
+        s, w = jax.lax.sort((rows, weights.astype(jnp.int32)), num_keys=1)
 
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     is_start = jnp.concatenate(
@@ -86,11 +104,73 @@ def count_topk(rows, k: int):
     ends = jnp.where(change_next, idx, cap)
     run_end = jax.lax.cummin(ends, axis=1, reverse=True)
 
-    counts = jnp.where(is_start, run_end - idx + 1, 0).astype(jnp.int32)
+    if weights is None:
+        counts = jnp.where(is_start, run_end - idx + 1, 0).astype(jnp.int32)
+    else:
+        # weighted run sum without gathers: backward-fill each run's
+        # inclusive-cumsum endpoint (wc is nondecreasing, so the NEAREST
+        # future endpoint -- this run's -- is the minimum over future
+        # endpoints; a reverse cummin of the masked endpoints recovers
+        # wc[run_end] per lane)
+        wc = jnp.cumsum(w, axis=1)
+        wc_end = jax.lax.cummin(
+            jnp.where(change_next, wc, np.int32(2**31 - 1)),
+            axis=1, reverse=True)
+        counts = jnp.where(is_start, wc_end - wc + w, 0).astype(jnp.int32)
     top_counts, top_pos = jax.lax.top_k(counts, k)
     hit_rows = jnp.take_along_axis(s, top_pos, axis=1)
     hit_rows = jnp.where(top_counts > 0, hit_rows, ROW_SENTINEL)
     return top_counts, hit_rows
+
+
+def dedup_runs(offs, lens):
+    """Query-time KComb: collapse consecutive k-mer positions that resolved
+    to the SAME postings slice into one weighted expansion unit.
+
+    The reference dedups identical k-mer->protein sets across the database
+    (kcomb_store.go:42-63) because conserved domains make many k-mers share
+    one set; at query time those k-mers are CONSECUTIVE positions, so the
+    per-query expansion re-pays the multiplicity the store already factored
+    out.  Collapsing runs of equal slice starts makes the expansion volume
+    (and therefore the adaptive cap and device cost) scale with the DISTINCT
+    postings volume: on domain-skewed data this is the difference between
+    cap=512 and cap=64k.
+
+    offs: int32[B, L] per-position slice starts (miss/padding = sentinel);
+    lens: int32[B, L] slice lengths.
+    Returns (lens_u, wstart, run_start):
+      lens_u:    lens with non-run-start positions zeroed (feed to cumsum /
+                 gather_postings -- seg then lands on run starts)
+      wstart:    int32[B, L] run length in positions, valid AT run starts
+      run_start: int32[B, L] index of each position's run start (for
+                 expanding per-run position bitmaps back to positions)
+    """
+    B, L = offs.shape
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    diff_prev = offs[:, 1:] != offs[:, :-1]
+    is_new = jnp.concatenate(
+        [jnp.ones((B, 1), dtype=bool), diff_prev], axis=1)
+    lens_u = jnp.where(is_new, lens, 0)
+    change_next = jnp.concatenate(
+        [diff_prev, jnp.ones((B, 1), dtype=bool)], axis=1)
+    ends = jnp.where(change_next, lane, L)
+    run_end = jax.lax.cummin(ends, axis=1, reverse=True)
+    wstart = run_end - lane + 1
+    run_start = jax.lax.cummax(jnp.where(is_new, lane, 0), axis=1)
+    return lens_u, wstart, run_start
+
+
+def expand_run_bitmaps(found_u, run_start):
+    """Broadcast per-run position bitmaps to every position of the run.
+
+    found_u: bool[B, K, L] with bits only at run-start columns (seg always
+    lands on run starts under dedup_runs); run_start: int32[B, L].  A
+    forward-fill along L without gathers: each column's value is
+    (run_start * 2 + bit), whose running max within a run preserves the run
+    head's bit and resets at the next run (strictly larger run_start).
+    """
+    t = run_start[:, None, :] * 2 + found_u.astype(jnp.int32)
+    return (jax.lax.cummax(t, axis=2) & 1).astype(jnp.bool_)
 
 
 def member_bitmap(postings, offs, lens, hits, iters: int):

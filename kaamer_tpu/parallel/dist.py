@@ -141,7 +141,7 @@ class ShardedSearchEngine(PositionBitmapServing):
         # the merged expansion each device finalizes is n_shards * cap wide
         from ..search.engine import _positions_on_device
 
-        return _positions_on_device(cap * self.n_shards, k_eff, L)
+        return _positions_on_device(cap * self.n_shards, k_eff, L, 2048)
 
     def _pack(self, padded, width):
         from .. import codec, native
@@ -168,7 +168,12 @@ class ShardedSearchEngine(PositionBitmapServing):
         n_np = np.zeros(B, dtype=np.int32)
         n_np[:B0] = sizes
 
-        cap = cap or max(self._cap_hint, self.CAP_MIN)
+        from ..search.engine import _cap_clamp
+
+        # whole-batch expansion budget per device is B_local * cap; clamp
+        # like the single-chip engine (outliers re-run in bounded chunks)
+        cap = _cap_clamp(cap or max(self._cap_hint, self.CAP_MIN),
+                         B // (self.dp * self.n_shards) * self.n_shards)
         k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap * self.n_shards)
         pos_dev = positions and self._pos_on_device(cap, k_eff, L)
         outs = self._run(wire, n_np, cap, k_eff, width, pos_dev)
@@ -239,7 +244,9 @@ class ShardedSearchEngine(PositionBitmapServing):
         dev_rows.sort(key=lambda i: int(totals[i]))
         for c0 in range(0, len(dev_rows), B_sub):
             chunk = dev_rows[c0 : c0 + B_sub]
-            cap2 = min(_cap_bucket(max(int(totals[i]) for i in chunk)),
+            # pow2 caps on re-runs: fewer compiled shapes (see the
+            # single-chip engine's rationale)
+            cap2 = min(_next_pow2(max(int(totals[i]) for i in chunk)),
                        self.CAP_MAX)
             k2 = min(k_full, cap2 * self.n_shards)
             wire2 = np.zeros((B_sub,) + wire.shape[1:], wire.dtype)

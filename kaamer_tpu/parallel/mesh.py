@@ -171,7 +171,7 @@ def make_sharded_search(mesh, hash_log2: int, cap: int, k: int,
     from jax import shard_map
 
     from .. import codec
-    from ..ops.count import (count_topk, gather_postings,
+    from ..ops.count import (count_topk, dedup_runs, gather_postings,
                              member_bitmap_from_rows, pack_bits)
     from ..ops.probe import probe_slices
 
@@ -189,24 +189,42 @@ def make_sharded_search(mesh, hash_log2: int, cap: int, k: int,
             codes_i = codes
         L = codes_i.shape[1] - (KMER_SIZE - 1)
         kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes_i)
-        # miss_start is irrelevant on the sharded path (lens 0 masks the
-        # miss everywhere; host position lookups use the global artifact)
-        starts, lens = probe_slices(table_b, kmers, hash_log2, miss_start=0)
+        # the miss sentinel must not equal any REAL shard-local slice start
+        # or run-dedup below would merge a miss into a neighboring real run;
+        # the (padded) postings length can never be a real start
+        miss_start = postings.shape[0]
+        starts, lens = probe_slices(table_b, kmers, hash_log2,
+                                    miss_start=miss_start)
         lane = jnp.arange(L, dtype=jnp.int32)[None, :]
         in_query = lane < n_kmers[:, None]
-        offs = jnp.where(in_query, starts, 0).astype(jnp.int32)
+        offs = jnp.where(in_query, starts,
+                         jnp.uint32(miss_start)).astype(jnp.int32)
         lens = jnp.where(in_query, lens, 0).astype(jnp.int32)
-        cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
-        total = cum[:, -1]
-
-        rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
+        if positions:
+            # per-shard run structures cannot be recovered after the
+            # all-to-all merge, so position batches expand undeduplicated
+            # (results identical; only the expansion volume differs)
+            cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
+            total = cum[:, -1]
+            rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
+            weights = None
+        else:
+            # query-time KComb (ops/count.py:dedup_runs), per shard
+            lens_u, wstart, _ = dedup_runs(offs, lens)
+            cum = jnp.cumsum(lens_u, axis=1).astype(jnp.int32)
+            total = cum[:, -1]
+            rows, seg, _, w = gather_postings(postings, offs, cum, total,
+                                              cap, wstart=wstart)
+            weights = jax.lax.all_to_all(
+                w, "shard", split_axis=0, concat_axis=1, tiled=True
+            )
 
         # every shard holds a disjoint postings subset; swap so each device
         # finalizes B_dp/n_shards queries over all shards' contributions
         rows_ex = jax.lax.all_to_all(
             rows, "shard", split_axis=0, concat_axis=1, tiled=True
         )
-        counts, hit_rows = count_topk(rows_ex, k)
+        counts, hit_rows = count_topk(rows_ex, k, weights=weights)
         # max shard-local volume per query, for host-side cap adaptation;
         # swap like the rows so each device reports the queries it finalized
         tmax = jax.lax.pmax(total, "shard")

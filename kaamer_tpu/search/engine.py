@@ -41,12 +41,13 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length() if n > 1 else 1
 
 
-def _positions_on_device(cap: int, k: int, L: int) -> bool:
+def _positions_on_device(cap: int, k: int, L: int, B: int) -> bool:
     """Whether the MXU bitmap path fits: both the [B, cap, L] and
-    [B, cap, k] bf16 indicators must stay bounded (< ~0.5 GB at B=2048).
-    Beyond this the lazy host binary-search path wins, since it only
-    touches the few kept hits of gate-passing queries."""
-    return cap * L <= (1 << 17) and cap * k <= (1 << 17)
+    [B, cap, k] bf16 indicators must stay bounded (< ~0.5 GB).  Beyond this
+    the lazy host binary-search path wins, since it only touches the few
+    kept hits of gate-passing queries."""
+    budget = (1 << 17) * 2048
+    return cap * L * B <= budget and cap * k * B <= budget
 
 
 def _cap_bucket(n: int) -> int:
@@ -66,6 +67,30 @@ def _cap_bucket(n: int) -> int:
         if c >= n:
             return c
     return p
+
+
+# Whole-batch expansion budget: a batch's [B, cap] expansion (and its sort)
+# is clamped to this many elements (64 MB of uint32 rows at 2^24), so a few
+# postings-heavy queries can NEVER drag a full 2048-wide batch to a
+# multi-GB shape -- they overflow their clamped cap and are re-run in
+# RERUN_B-sized sub-batches at the cap they actually need (bounded by
+# RERUN_B * CAP_MAX).  Skewed databases (the regime KComb exists for) hit
+# this constantly; random benchmarks never do.
+MAX_EXPANSION_ELEMS = 1 << 24
+
+
+def _cap_floor(limit: int) -> int:
+    """Largest allowed capacity bucket <= limit (>= CAP_MIN)."""
+    limit = max(int(limit), CAP_MIN)
+    p = 1 << (limit.bit_length() - 1)
+    for c in (p + (p >> 1), p + (p >> 2), p):  # 1.5*2^k, 1.25*2^k, 2^k
+        if c <= limit:
+            return c
+    return p  # pragma: no cover
+
+
+def _cap_clamp(cap: int, B: int) -> int:
+    return min(cap, _cap_floor(MAX_EXPANSION_ELEMS // max(B, 1)))
 
 
 class QueryCounts:
@@ -207,13 +232,29 @@ class SearchEngine(PositionBitmapServing):
         self.hash_log2 = art.hash_log2
         self._cap_hint = CAP_MIN
 
-        self._fused = jax.jit(
-            partial(
-                _fused_impl,
-                hash_log2=self.hash_log2,
-                miss_start=self.miss_start,
-            ),
-            static_argnames=("cap", "k", "width", "positions"),
+        # two-phase dispatch: phase 1 probes + dedups the whole batch and
+        # reports exact per-query totals; the host then schedules phase 2
+        # in totals-sorted GROUPS, each at the cap bucket it needs.  One
+        # postings-heavy query therefore never drags 2048 light queries to
+        # its expansion capacity (a ~6x device-time tax on skewed data).
+        self._p1 = jax.jit(
+            partial(_phase1_impl, hash_log2=self.hash_log2,
+                    miss_start=self.miss_start),
+            static_argnames=("width",),
+        )
+        self._p2 = jax.jit(
+            _phase2_grouped_impl,
+            static_argnames=("cap", "k", "positions"),
+        )
+        # row selection is jitted separately so _p2's compiled shapes depend
+        # only on (G, L, cap, k, positions), not on the source batch size
+        self._sel = jax.jit(
+            lambda offs, cum, w, rs, idx: (
+                jnp.take(offs, idx, axis=0),
+                jnp.take(cum, idx, axis=0),
+                jnp.take(w, idx, axis=0),
+                jnp.take(rs, idx, axis=0),
+            )
         )
 
     # ------------------------------------------------------------------
@@ -234,15 +275,17 @@ class SearchEngine(PositionBitmapServing):
     def dispatch_batch(self, seqs: Sequence[str], sizes: Sequence[int], k: int,
                        positions: bool = False, cap: int = 0,
                        adapt_hint: bool = True):
-        """Asynchronously dispatch one batch to the device; returns a handle
-        for resolve_batch.  JAX dispatch is async, so several batches can be
-        in flight, overlapping upload/compute/fetch across batches (the
-        analogue of the reference's pipelined worker pools).
+        """Asynchronously dispatch phase 1 (probe + dedup + exact totals) of
+        one batch; returns a handle for resolve_batch.  JAX dispatch is
+        async, so several batches can be in flight, overlapping
+        upload/compute/fetch across batches (the analogue of the reference's
+        pipelined worker pools).
 
-        cap/adapt_hint are for warmup: a warmup batch pins its expansion
-        capacity explicitly (so the intended shape bucket actually compiles)
-        and must not feed its junk postings volume back into the adaptive
-        hint that live traffic shares (adapt_hint=False)."""
+        cap pins every phase-2 group's expansion capacity (warmup uses this
+        so the intended shape buckets actually compile); adapt_hint is kept
+        for interface stability (the group scheduler always uses this
+        batch's own exact totals, so there is no cross-batch hint to
+        pollute)."""
         import jax.numpy as jnp
 
         B_real = len(seqs)
@@ -267,132 +310,93 @@ class SearchEngine(PositionBitmapServing):
         wire = native.pack_queries(seqs, width)
         if wire is None:
             wire = codec.pack_codes7(codec.pad_codes_batch(seqs, width))
-        codes_dev = jnp.asarray(wire)
-        n_dev = jnp.asarray(n_kmers)
 
-        cap = cap or self._cap_hint
-        k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap)
-        pos_dev = positions and _positions_on_device(cap, k_eff, L)
-        outs = self._fused(
-            self.table, self.postings,
-            codes_dev, n_dev, cap=cap, k=k_eff, width=L + KMER_SIZE - 1,
-            positions=pos_dev,
-        )
-        # start the device->host copies NOW so they overlap with later
-        # dispatches; resolve_batch's device_get then finds them complete
-        # (the link adds ~30ms RTT per blocking fetch otherwise)
-        for arr in (outs[:3] + outs[4:]):
-            arr.copy_to_host_async()
-        return (outs, wire, list(sizes), k, cap, k_eff, L,
-                positions, adapt_hint)
+        outs1 = self._p1(self.table, jnp.asarray(wire), jnp.asarray(n_kmers),
+                         width=width)
+        offs, cum, wstart, run_start, totals = outs1
+        # only the tiny exact-totals vector comes back eagerly; everything
+        # else stays on device for the phase-2 groups
+        totals.copy_to_host_async()
+        return (outs1, list(sizes), k, L, positions, cap)
 
-    # Sub-batch size for overflow re-runs.  Overflowing queries are re-run
-    # in fixed chunks of RERUN_B at the cap THEY need, so peak device memory
-    # is bounded by RERUN_B * CAP_MAX elements (~134 MB of uint32 rows)
-    # instead of the whole batch's B * CAP_MAX (16 GB at B=2048 -- over
-    # v5e HBM).  Fixed size also keeps the compiled-shape set small.
+    # Sub-batch size for overflow re-runs: postings-heavy outliers re-run in
+    # chunks of RERUN_B at the (pow2) cap they need, so peak device memory
+    # stays RERUN_B * CAP_MAX elements (~134 MB of uint32 rows) instead of a
+    # whole batch at CAP_MAX (16 GB at B=2048 -- over v5e HBM).
     RERUN_B = 16
+    # Phase-2 group width: large enough that per-group sort/top_k stay
+    # efficient, small enough that a group's cap tracks its own totals
+    # quantile instead of the batch max.
+    GROUP_B = 256
 
     def resolve_batch(self, handle) -> List[QueryCounts]:
-        """Block on a dispatched batch and finalize per-query results.
+        """Schedule phase 2 from the batch's exact totals and finalize
+        per-query results.
 
-        Queries whose postings volume exceeded the batch's expansion cap are
-        re-run selectively: `totals` is exact regardless of cap (phase 1
-        computes it from the slice lengths), and results of queries with
-        total <= cap are already exact, so only the overflowing rows are
-        re-dispatched, in RERUN_B-sized sub-batches at their own cap bucket.
-        Beyond CAP_MAX a query falls back to an unbounded host bincount."""
+        Queries are sorted by their phase-1 totals and processed in
+        GROUP_B-wide groups, each group at the smallest cap bucket covering
+        its heaviest member -- so the expansion volume tracks the workload's
+        totals distribution instead of its max.  Outliers above the group
+        budget re-run in RERUN_B chunks (bounded by RERUN_B * CAP_MAX);
+        beyond CAP_MAX a query falls back to an unbounded host bincount."""
         if handle is None:
             return []
-        (outs, wire, sizes, k, cap, k_eff, L, positions,
-         adapt_hint) = handle
-        counts, hit_rows, totals, ids = outs[:4]
-        counts_h, hits_h, totals_h = self._jax.device_get(
-            (counts, hit_rows, totals)
-        )
-        max_total = int(totals_h.max())
-        bitmaps_h = None
-        if len(outs) > 4:
-            # uint8[B, k_eff, L//8] -> bool[B, k_eff, L]
-            packed_bm = self._jax.device_get(outs[4])
-            bitmaps_h = np.unpackbits(packed_bm, axis=-1, bitorder="little")
-        # adapt the starting bucket toward observed volume, with 1/16 slack
-        # so batches hovering at a bucket edge don't oscillate into re-runs
-        # (warmup batches are excluded: their junk volume would reset a live
-        # workload's adapted cap and force re-runs on the next real batch)
-        if adapt_hint:
-            self._cap_hint = _cap_bucket(max_total + (max_total >> 4))
+        (outs1, sizes, k, L, positions, cap_pin) = handle
+        offs, cum, wstart, run_start, totals = outs1
+        totals_h = self._jax.device_get(totals)
+        B = int(offs.shape[0])
+        B_real = len(sizes)
+        max_total = int(totals_h[:B_real].max()) if B_real else 0
+        self._cap_hint = _cap_bucket(max_total)  # diagnostic only
 
-        batch_ids = _BatchIds(ids)
-        over_idx = [i for i in range(len(sizes)) if int(totals_h[i]) > cap]
-        rerun = (
-            self._rerun_overflow(wire, sizes, over_idx, totals_h, batch_ids,
-                                 k, L, positions)
-            if over_idx
-            else {}
-        )
-
-        # top_k counts are descending, so nonzero entries form a prefix
-        nnz = (counts_h > 0).sum(axis=1)
-        out: List[QueryCounts] = []
-        for i in range(len(sizes)):
-            if i in rerun:
-                qc = rerun[i]
-            else:
-                m = int(nnz[i])
-                qc = QueryCounts(
-                    hit_rows=hits_h[i][:m],
-                    counts=counts_h[i][:m],
-                    _engine=self,
-                    _batch=batch_ids,
-                    _row=i,
-                    _n_kmers=sizes[i],
-                )
-                if bitmaps_h is not None:
-                    qc._bitmaps = bitmaps_h[i]
-            out.append(qc)
-        return out
-
-    def _rerun_overflow(
-        self, wire: np.ndarray, sizes: Sequence[int], over_idx: List[int],
-        totals_h: np.ndarray, batch_ids: "_BatchIds", k: int, L: int,
-        positions: bool,
-    ) -> Dict[int, QueryCounts]:
-        """Re-run overflowing queries in RERUN_B-sized sub-batches, each at
-        the cap bucket its chunk needs (queries are grouped by total so a
-        chunk's cap fits its worst member)."""
-        import jax.numpy as jnp
-
-        out: Dict[int, QueryCounts] = {}
+        batch_ids = _BatchIds(offs)
         k_full = _next_pow2(max(k, TOPK_MIN))
-        dev_rows = []
-        for i in over_idx:
-            if int(totals_h[i]) > CAP_MAX:
-                out[i] = self._count_host_row(batch_ids, i, sizes[i], k_full)
+        results: Dict[int, QueryCounts] = {}
+
+        G = min(self.GROUP_B, B)
+        limit_g = _cap_floor(MAX_EXPANSION_ELEMS // G)
+        order = sorted(range(B_real), key=lambda i: -int(totals_h[i]))
+        normal: List[int] = []
+        chunks: List[tuple] = []  # (rows, G_c, cap_c)
+        heavy: List[int] = []
+        for i in order:
+            t = int(totals_h[i])
+            if t > CAP_MAX:
+                results[i] = self._count_host_row(batch_ids, i, sizes[i],
+                                                  k_full)
+            elif t > limit_g and not cap_pin:
+                heavy.append(i)
             else:
-                dev_rows.append(i)
-        dev_rows.sort(key=lambda i: int(totals_h[i]))
-        for c0 in range(0, len(dev_rows), self.RERUN_B):
-            chunk = dev_rows[c0 : c0 + self.RERUN_B]
-            cap2 = _cap_bucket(max(int(totals_h[i]) for i in chunk))
-            k2 = min(k_full, cap2)
-            wire2 = np.zeros((self.RERUN_B,) + wire.shape[1:], wire.dtype)
-            n2 = np.zeros(self.RERUN_B, dtype=np.int32)
-            for j, i in enumerate(chunk):
-                wire2[j] = wire[i]
-                n2[j] = sizes[i]
-            pos_dev = positions and _positions_on_device(cap2, k2, L)
-            outs = self._fused(
-                self.table, self.postings,
-                jnp.asarray(wire2), jnp.asarray(n2),
-                cap=cap2, k=k2, width=L + KMER_SIZE - 1, positions=pos_dev,
+                normal.append(i)
+        # outliers: RERUN_B-wide chunks at plain pow2 caps (rare, so halving
+        # the compiled-shape count beats the fine cap grid's device saving)
+        for c0 in range(0, len(heavy), self.RERUN_B):
+            rows = heavy[c0 : c0 + self.RERUN_B]
+            cap_c = min(_next_pow2(max(int(totals_h[i]) for i in rows)),
+                        CAP_MAX)
+            chunks.append((rows, self.RERUN_B, cap_c))
+        # the bulk: totals-sorted groups at the fine-grid cap they need
+        for c0 in range(0, len(normal), G):
+            rows = normal[c0 : c0 + G]
+            cap_c = cap_pin or _cap_bucket(
+                max((int(totals_h[i]) for i in rows), default=CAP_MIN))
+            chunks.append((rows, G, min(cap_c, limit_g) if not cap_pin
+                           else cap_c))
+
+        pending = []
+        for rows, G_c, cap_c in chunks:
+            pending.append(
+                (rows, self._dispatch_group(outs1, rows, G_c, cap_c, k_full,
+                                            L, positions))
             )
-            ch, hh = self._jax.device_get((outs[0], outs[1]))
+
+        for rows, (outs2, pos_dev) in pending:
+            ch, hh = self._jax.device_get((outs2[0], outs2[1]))
             bm = None
-            if len(outs) > 4:
-                bm = np.unpackbits(self._jax.device_get(outs[4]), axis=-1,
+            if pos_dev:
+                bm = np.unpackbits(self._jax.device_get(outs2[2]), axis=-1,
                                    bitorder="little")
-            for j, i in enumerate(chunk):
+            for j, i in enumerate(rows):
                 m = int((ch[j] > 0).sum())
                 qc = QueryCounts(
                     hit_rows=hh[j][:m], counts=ch[j][:m], _engine=self,
@@ -400,8 +404,25 @@ class SearchEngine(PositionBitmapServing):
                 )
                 if bm is not None:
                     qc._bitmaps = bm[j]
-                out[i] = qc
-        return out
+                results[i] = qc
+        return [results[i] for i in range(B_real)]
+
+    def _dispatch_group(self, outs1, rows: List[int], G: int, cap: int,
+                        k_full: int, L: int, positions: bool):
+        """Dispatch one phase-2 group (async); returns (outputs, pos_dev)."""
+        import jax.numpy as jnp
+
+        offs, cum, wstart, run_start, _ = outs1
+        idx = np.zeros(G, dtype=np.int32)
+        idx[: len(rows)] = rows
+        sel = self._sel(offs, cum, wstart, run_start, jnp.asarray(idx))
+        k2 = min(k_full, cap)
+        pos_dev = positions and _positions_on_device(cap, k2, L, G)
+        outs2 = self._p2(self.postings, *sel, cap=cap, k=k2,
+                         positions=pos_dev)
+        for arr in outs2:
+            arr.copy_to_host_async()
+        return outs2, pos_dev
 
     def _count_host_row(self, batch_ids: "_BatchIds", i: int, n_kmers: int, k: int) -> QueryCounts:
         """Unbounded host fallback (np.bincount) for postings-heavy queries."""
@@ -488,52 +509,52 @@ def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
     in_query = lane < n_kmers[:, None]
     offs = jnp.where(in_query, starts, jnp.uint32(miss_start)).astype(jnp.int32)
     lens = jnp.where(in_query, lens, 0).astype(jnp.int32)
-    cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
-    return offs, lens, cum
+    # query-time KComb: expand each distinct consecutive slice once, with
+    # its position multiplicity as a weight (ops/count.py:dedup_runs)
+    from ..ops.count import dedup_runs
+
+    lens_u, wstart, run_start = dedup_runs(offs, lens)
+    cum = jnp.cumsum(lens_u, axis=1).astype(jnp.int32)
+    return offs, cum, wstart, run_start, cum[:, -1]
 
 
-def _phase2_impl(postings, offs, cum, *, cap: int, k: int):
+def _phase2_impl(postings, offs, cum, wstart, *, cap: int, k: int):
     from ..ops.count import count_topk, gather_postings
 
     total = cum[:, -1]
-    rows, _, _ = gather_postings(postings, offs, cum, total, cap)
-    counts, hit_rows = count_topk(rows, k)
+    rows, _, _, w = gather_postings(postings, offs, cum, total, cap,
+                                    wstart=wstart)
+    counts, hit_rows = count_topk(rows, k, weights=w)
     return counts, hit_rows
 
 
-def _fused_impl(table, postings, codes, n_kmers, *,
-                hash_log2, miss_start, cap, k, width=0,
-                positions=False):
-    """Single-dispatch search step: unpack + probe + expand + count + rank.
+def _phase2_grouped_impl(postings, offs, cum, wstart, run_start, *,
+                         cap, k, positions=False):
+    """Phase 2 for one totals-sorted group: expand + weighted count + rank.
 
-    Returns (counts int32[B,k], hit_rows uint32[B,k], totals int32[B],
-    offs int32[B,L][, bitmaps uint8[B,k,L//8]]); offs (per-k-mer postings
-    slice starts) are returned for lazy host-side position lookups.  With
-    positions=True the per-hit k-mer position bitmaps (reference
-    StoreMatchPositions, search.go:442-452) are computed on device from the
-    expanded postings and shipped back bit-packed, avoiding a separate offs
-    download + host search per batch.
+    Inputs are the group's rows of the phase-1 outputs (selected on device).
+    Returns (counts int32[G,k], hit_rows uint32[G,k]
+    [, bitmaps uint8[G,k,L//8]]).  With positions=True the per-hit k-mer
+    position bitmaps (reference StoreMatchPositions, search.go:442-452) are
+    computed on device from the expanded postings and shipped back
+    bit-packed, avoiding a separate offs download + host search per batch.
     """
-    import jax.numpy as jnp
-
-    offs, lens, cum = _phase1_impl(
-        table, codes, n_kmers,
-        hash_log2=hash_log2, miss_start=miss_start, width=width,
-    )
-    if not positions:
-        counts, hit_rows = _phase2_impl(postings, offs, cum, cap=cap, k=k)
-        return counts, hit_rows, cum[:, -1], offs
-
-    from ..ops.count import count_topk, gather_postings, member_bitmap_from_rows, pack_bits
+    from ..ops.count import (count_topk, expand_run_bitmaps, gather_postings,
+                             member_bitmap_from_rows, pack_bits)
 
     total = cum[:, -1]
-    rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
-    counts, hit_rows = count_topk(rows, k)
-    # gather-free MXU path over the already-expanded entries; the caller
-    # (dispatch_batch) only requests device positions while the [B, cap, L]
-    # and [B, cap, k] bf16 indicators stay bounded (_positions_on_device),
-    # falling back to the lazy host bitmaps otherwise
+    rows, seg, valid, w = gather_postings(postings, offs, cum, total, cap,
+                                          wstart=wstart)
+    counts, hit_rows = count_topk(rows, k, weights=w)
+    if not positions:
+        return counts, hit_rows
+    # gather-free MXU path over the already-expanded entries; the scheduler
+    # only requests device positions while the [G, cap, L] and [G, cap, k]
+    # bf16 indicators stay bounded (_positions_on_device), falling back to
+    # the lazy host bitmaps otherwise.  seg lands on run starts (dedup), so
+    # the per-run bits are forward-filled to positions.
     found = member_bitmap_from_rows(rows, seg, hit_rows, offs.shape[1])
+    found = expand_run_bitmaps(found, run_start)
     # rows with count 0 are sentinel padding; their bitmaps must be empty
     found = found & (counts[:, :, None] > 0)
-    return counts, hit_rows, cum[:, -1], offs, pack_bits(found)
+    return counts, hit_rows, pack_bits(found)

@@ -53,15 +53,19 @@ n_dev = jnp.asarray(n_kmers)
 cap = engine._cap_hint
 k_eff = 32
 
-# 1. pure device compute
-out = engine._fused(engine.table, engine.postings,
-                    codes_dev, n_dev, cap=cap, k=k_eff)
+# 1. pure device compute (phase 1 + one full-batch phase-2 group)
+def full_step():
+    outs1 = engine._p1(engine.table, codes_dev, n_dev)
+    sel = (outs1[0], outs1[1], outs1[2], outs1[3])
+    from kaamer_tpu.search.engine import _phase2_grouped_impl
+    return engine._p2(engine.postings, *sel, cap=cap, k=k_eff)
+
+out = full_step()
 jax.block_until_ready(out)
 t0 = time.perf_counter()
 REPS = 10
 for _ in range(REPS):
-    out = engine._fused(engine.table, engine.postings,
-                        codes_dev, n_dev, cap=cap, k=k_eff)
+    out = full_step()
 jax.block_until_ready(out)
 dt_dev = (time.perf_counter() - t0) / REPS
 print(f"device compute:        {dt_dev*1e3:8.2f} ms/batch  ({B/dt_dev:9.0f} q/s)", flush=True)
@@ -88,10 +92,9 @@ for h in handles:
 dt_e2e = (time.perf_counter() - t0) / (N_QUERIES // BATCH)
 print(f"engine e2e:            {dt_e2e*1e3:8.2f} ms/batch  ({B/dt_e2e:9.0f} q/s)", flush=True)
 
-# 3. resolve-only (host finalization) on a pre-fetched batch
+# 3. resolve-only (host finalization + phase-2 scheduling) on a batch
 h = engine.dispatch_batch(queries[:BATCH], sizes[:BATCH], k=10)
-(outs, cd, nd, sz, k, cap2, ke) = h
-jax.block_until_ready(outs)
+jax.block_until_ready(h[0])
 t0 = time.perf_counter()
 engine.resolve_batch(h)
 dt_res = time.perf_counter() - t0

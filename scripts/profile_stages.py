@@ -56,8 +56,8 @@ def timeit(name, fn, *args, **kw):
 
 p1 = jax.jit(partial(_phase1_impl, hash_log2=engine.hash_log2,
                      miss_start=engine.miss_start))
-offs, lens, cum = timeit("phase1 (probe)", p1, engine.table,
-                         codes_dev, n_dev)
+offs, cum, wstart, run_start, totals = timeit(
+    "phase1 (probe)", p1, engine.table, codes_dev, n_dev)
 
 gp = jax.jit(partial(gather_postings, cap=CAP))
 total = cum[:, -1]
@@ -70,8 +70,7 @@ timeit("count_topk (sort+rle)", ct, rows)
 srt = jax.jit(lambda r: jnp.sort(r, axis=1))
 timeit("  jnp.sort only", srt, rows)
 
-fused = jax.jit(partial(
-    __import__("kaamer_tpu.search.engine", fromlist=["x"])._fused_impl,
-    hash_log2=engine.hash_log2, miss_start=engine.miss_start, cap=CAP, k=K))
-timeit("fused total", fused, engine.table, engine.postings,
-       codes_dev, n_dev)
+p2 = jax.jit(partial(
+    __import__("kaamer_tpu.search.engine", fromlist=["x"])._phase2_grouped_impl,
+    cap=CAP, k=K))
+timeit("phase2 grouped", p2, engine.postings, offs, cum, wstart, run_start)

@@ -210,35 +210,33 @@ def heavy_db(tmp_path_factory):
     return art, oracle, seqs, shared
 
 
-def test_overflow_rerun_is_selective_and_exact(heavy_db):
-    """A batch mixing cap-overflowing queries (shared hot segment) with
-    normal ones must resolve both exactly; only the overflowing rows are
-    re-dispatched (engine re-run path, bounded at RERUN_B * cap)."""
+def test_grouped_caps_track_totals(heavy_db, monkeypatch):
+    """Phase-2 groups are totals-sorted: heavy queries (shared hot segment)
+    and light ones land in different groups with different cap buckets, and
+    both resolve exactly (no single-cap batch tax)."""
     art, oracle, seqs, shared = heavy_db
     engine = SearchEngine(art)
-    assert engine._cap_hint == 256
+    monkeypatch.setattr(SearchEngine, "GROUP_B", 4)
 
-    heavy_q = seqs[0]          # contains the hot segment -> total ~8000
-    light_q = seqs[-1][:40]    # background query, total << 256
-    queries = [heavy_q, light_q, seqs[5], seqs[-2][:30]]
+    heavy = [seqs[0], seqs[1], seqs[2], seqs[3]]   # hot segment, total ~400+
+    light = [seqs[-1][:40], seqs[-2][:30], seqs[-3][:40], seqs[-4][:30]]
+    queries = heavy + light
     sizes = [len(q) - 6 for q in queries]
 
     calls = []
-    orig = engine._fused
+    orig = engine._p2
 
-    def counting_fused(*a, **kw):
-        calls.append((a[3].shape[0], kw["cap"]))
+    def counting_p2(*a, **kw):
+        calls.append((a[1].shape[0], kw["cap"]))
         return orig(*a, **kw)
 
-    engine._fused = counting_fused
+    engine._p2 = counting_p2
     res = engine.count_batch(queries, sizes, k=10)
-    engine._fused = orig
+    engine._p2 = orig
 
-    # first call at the full padded batch (B=16) with cap 256; re-runs only
-    # at RERUN_B with a larger cap
-    assert calls[0][1] == 256
-    for B, cap in calls[1:]:
-        assert B == SearchEngine.RERUN_B and cap > 256
+    caps = sorted({cap for _, cap in calls})
+    assert len(calls) == 2 and len(caps) == 2, calls
+    assert caps[0] == 256 and caps[1] >= 512, calls
 
     ext = np.asarray(art.protein_ids)
     for q, size, qc in zip(queries, sizes, res):
@@ -282,15 +280,30 @@ def test_overflow_beyond_cap_max_host_fallback(heavy_db, monkeypatch):
         assert bms[r] == want_pos[int(ext[r])]
 
 
-def test_warmup_does_not_touch_cap_hint(heavy_db):
+def test_warmup_does_not_change_group_caps(heavy_db):
+    """Group caps come from each batch's own exact totals, so a warmup's
+    junk batches cannot perturb the caps a real workload gets (the round-1
+    warmup/cap-hint interference bug class is structurally gone)."""
     art, _, seqs, _ = heavy_db
     engine = SearchEngine(art)
-    # adapt the hint upward with a heavy batch
-    engine.count_batch([seqs[0]], [len(seqs[0]) - 6], k=10)
-    adapted = engine._cap_hint
-    assert adapted > 256
+
+    def caps_of(queries):
+        calls = []
+        orig = engine._p2
+
+        def counting_p2(*a, **kw):
+            calls.append(kw["cap"])
+            return orig(*a, **kw)
+
+        engine._p2 = counting_p2
+        engine.count_batch(queries, [len(q) - 6 for q in queries], k=10)
+        engine._p2 = orig
+        return calls
+
+    before = caps_of([seqs[0]])
     engine.warmup(batch_sizes=(16,), lengths=(16,), positions=(False,))
-    assert engine._cap_hint == adapted
+    after = caps_of([seqs[0]])
+    assert before == after and before[0] > 256
 
 
 def test_warmup_precompiles_without_error(synth_db):
@@ -301,3 +314,113 @@ def test_warmup_precompiles_without_error(synth_db):
     q = art.protein(0).Sequence
     (qc,) = engine.count_batch([q], [len(q) - 6], k=5)
     assert qc.counts.size > 0
+
+
+@pytest.fixture(scope="module")
+def skew_db(tmp_path_factory):
+    """Domain-skewed DB: a few 'conserved domains' shared by many proteins,
+    so consecutive query k-mers resolve to one postings slice and the
+    weighted run-dedup path (ops/count.py:dedup_runs) is actually hot --
+    the k-mer-set-sharing regime KComb exists for (kcomb_store.go:42-63)."""
+    rng = np.random.default_rng(7)
+    domains = ["".join(rng.choice(list(AA), size=int(rng.integers(25, 60))))
+               for _ in range(6)]
+    seqs = []
+    for i in range(70):
+        # Zipf-ish domain choice: domain d appears in ~1/(d+1) of proteins
+        parts = []
+        for d, dom in enumerate(domains):
+            if rng.random() < 1.0 / (d + 2):
+                parts.append(dom)
+        parts.append("".join(rng.choice(list(AA), size=int(rng.integers(20, 60)))))
+        rng.shuffle(parts)
+        seqs.append("".join(parts))
+
+    tmp = tmp_path_factory.mktemp("skewdb")
+    fasta = str(tmp / "in.fasta")
+    dbdir = str(tmp / "db")
+    _write_fasta(fasta, seqs)
+    build_db(dbdir, fasta, "fasta")
+    art = load_db(dbdir)
+    from kaamer_tpu.records import Protein
+
+    entries = [
+        (int(art.protein_ids[i]), art.protein(i)) for i in range(art.num_proteins)
+    ]
+    return art, OracleDB(entries), seqs, domains
+
+
+def test_skewed_counts_and_positions_match_oracle(skew_db):
+    art, oracle, seqs, domains = skew_db
+    engine = SearchEngine(art)
+
+    # queries dominated by popular domains (heavy duplicate-set runs), plus
+    # a pure domain concatenation and a mutated domain
+    mut = list(domains[0])
+    mut[len(mut) // 2] = "W" if mut[len(mut) // 2] != "W" else "Y"
+    queries = [seqs[3], seqs[11], domains[0] + domains[1], "".join(mut),
+               seqs[20][:40]]
+    sizes = [len(q) - 6 for q in queries]
+    res = engine.count_batch(queries, sizes, k=16, positions=True)
+
+    ext = np.asarray(art.protein_ids)
+    for q, size, qc in zip(queries, sizes, res):
+        got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+        want, want_pos = oracle.kmer_search(q, size)
+        assert got[: len(want[:16])] == want[:16], f"query {q[:20]}..."
+        # position bitmaps for the top hits
+        rows = [int(r) for r in qc.hit_rows[:5]]
+        bm = engine.position_bitmaps(qc, rows)
+        for r in rows:
+            assert bm[r] == want_pos[int(ext[r])], f"positions of hit {r}"
+
+
+def test_skewed_sharded_matches_single(skew_db):
+    from kaamer_tpu.parallel.dist import ShardedSearchEngine, global_mesh
+
+    art, _, seqs, domains = skew_db
+    queries = [seqs[3], domains[0] + domains[1], seqs[11][:60]]
+    sizes = [len(q) - 6 for q in queries]
+    single = SearchEngine(art).count_batch(queries, sizes, k=12)
+    sharded = ShardedSearchEngine(art, mesh=global_mesh(4)).count_batch(
+        queries, sizes, k=12)
+    for qw, qg in zip(single, sharded):
+        assert [int(r) for r in qw.hit_rows] == [int(r) for r in qg.hit_rows]
+        assert [int(c) for c in qw.counts] == [int(c) for c in qg.counts]
+
+
+def test_expansion_budget_escalates_outliers(heavy_db, monkeypatch):
+    """Queries above a group's expansion budget (MAX_EXPANSION_ELEMS / G)
+    escalate into RERUN_B-wide chunks at the pow2 cap they need; normal
+    groups stay within budget and results stay exact."""
+    import kaamer_tpu.search.engine as eng_mod
+
+    art, oracle, seqs, shared = heavy_db
+    engine = SearchEngine(art)
+    # budget of 2^12 elements at G=16 -> group cap limit 256, below the
+    # heavy queries' ~400+ deduped totals
+    monkeypatch.setattr(eng_mod, "MAX_EXPANSION_ELEMS", 1 << 12)
+
+    calls = []
+    orig = engine._p2
+
+    def counting_p2(*a, **kw):
+        calls.append((a[1].shape[0], kw["cap"]))
+        return orig(*a, **kw)
+
+    engine._p2 = counting_p2
+    queries = [seqs[0], seqs[-1][:40]]
+    sizes = [len(q) - 6 for q in queries]
+    res = engine.count_batch(queries, sizes, k=10)
+    engine._p2 = orig
+
+    limit = (1 << 12) // 16
+    assert any(G == SearchEngine.RERUN_B and cap > limit
+               for G, cap in calls), calls
+    assert any(G * cap <= (1 << 12) for G, cap in calls), calls
+
+    ext = np.asarray(art.protein_ids)
+    for q, size, qc in zip(queries, sizes, res):
+        got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+        want, _ = oracle.kmer_search(q, size)
+        assert got == want[: len(got)], q[:20]
