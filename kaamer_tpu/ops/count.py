@@ -76,15 +76,15 @@ def gather_postings(postings, offs, cum, total, cap: int, wstart=None):
     return rows, seg_cl, valid, jnp.where(valid, w, 0)
 
 
-def count_topk(rows, k: int, weights=None):
-    """Sort each query's row multiset, RLE it, and return the top-k
-    (count, row) pairs.  Padding sentinels sort to the end and are excluded.
+def sort_rle(rows, weights=None):
+    """Sort each query's row multiset and run-length-encode it.
 
     rows: uint32[B, cap]; weights: optional int32[B, cap] per-entry
     multiplicities (from run-deduplicated expansion, see dedup_runs) -- a
     run's count is then the sum of its weights rather than its length.
-    returns (counts int32[B, k], hit_rows uint32[B, k]); absent entries have
-    count 0.
+    Returns (s uint32[B, cap] sorted rows, counts int32[B, cap] with each
+    run's total at its start lane and 0 elsewhere, is_start bool[B, cap];
+    sentinels excluded).
     """
     cap = rows.shape[1]
     if weights is None:
@@ -117,6 +117,14 @@ def count_topk(rows, k: int, weights=None):
             jnp.where(change_next, wc, np.int32(2**31 - 1)),
             axis=1, reverse=True)
         counts = jnp.where(is_start, wc_end - wc + w, 0).astype(jnp.int32)
+    return s, counts, is_start
+
+
+def count_topk(rows, k: int, weights=None):
+    """Sort + RLE + top-k (count, row) pairs; see sort_rle.  Returns
+    (counts int32[B, k], hit_rows uint32[B, k]); absent entries have
+    count 0, row ROW_SENTINEL."""
+    s, counts, _ = sort_rle(rows, weights)
     top_counts, top_pos = jax.lax.top_k(counts, k)
     hit_rows = jnp.take_along_axis(s, top_pos, axis=1)
     hit_rows = jnp.where(top_counts > 0, hit_rows, ROW_SENTINEL)

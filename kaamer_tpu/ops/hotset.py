@@ -1,0 +1,208 @@
+"""Hot-set dense counting: MXU matmuls instead of postings expansion.
+
+On skewed databases (the regime the reference's KComb store exists for,
+kcomb_store.go:42-63) a handful of popular postings sets carry most of the
+expansion volume: profiling shows the per-entry postings gather is ~90% of
+device time at 10k-protein scale (scripts/profile_skew.py).  Those same hot
+sets are FEW and STATIC, so their membership is precomputed once as a dense
+0/1 matrix M[H, P] and a query's hot contribution to every protein's count
+becomes ONE matmul:
+
+    counts_hot[g, p] = sum_h W[g, h] * M[h, p]        (MXU, f32-exact)
+
+where W[g, h] is the total k-mer-position weight query g puts on hot set h.
+Only COLD sets (postings length < the hot threshold) still go through the
+gather + sort + RLE pipeline -- at caps 10-30x smaller.  Exact integer
+arithmetic throughout: indicators are {0,1}, weights are ints < 2^24, and
+every accumulation is f32 (exact for ints < 2^24).
+
+Merging the two contributions stays exact via a candidate-union argument:
+every protein with a nonzero cold count appears among the cold RLE rows
+(its total = cold RLE count + a gather from counts_hot), and every protein
+with zero cold count that could make the top-k appears in the dense hot
+top-k (its total = its hot count).  Hot top-k candidates that also have a
+nonzero cold count are zeroed (they are already exact in the cold list), so
+candidates are distinct; a final sort by protein row restores the global
+(count desc, row asc) tie-break before lax.top_k.
+
+The dense hot top-k itself is hierarchical and EXACT (see topk_dense): if a
+tile's max is below the k-th selected tile max, every element in it is
+outscored by >= k elements, so the top-k tiles by max contain all top-k
+elements (ties included, by the row-asc ordering of tile gathering).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROW_SENTINEL = np.uint32(0xFFFFFFFF)
+
+# hot sets must be worth a dense row: below this postings length the gather
+# pipeline is cheaper than M's memory
+MIN_HOT_LEN = 24
+# dense-path budgets: M bytes (bf16) and the per-group [G, P] f32 intermediate
+M_BYTES_BUDGET = 1 << 28       # 256 MB
+P_MAX = 1 << 18                # beyond this, dense [G, P] traffic dominates
+
+
+def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,
+                    h_max: int = 1024, min_len: int = MIN_HOT_LEN):
+    """Pick the hot sets (longest postings slices) and build their dense
+    membership matrix.  Returns (hot_starts int32[H] (slice start offsets,
+    the probe's native set identity), threshold_len, P_pad) or None when the
+    database has no set worth a dense row or the budgets don't fit.
+
+    set_offsets: uint64[S+1] postings slice boundaries."""
+    if set_offsets is None or set_offsets.size < 2:
+        return None
+    P_pad = -(-max(num_proteins, 1) // 128) * 128
+    if P_pad > P_MAX:
+        return None
+    h_budget = int(M_BYTES_BUDGET // (P_pad * 2))
+    h_max = min(h_max, h_budget)
+    if h_max < 1:
+        return None
+    lens = np.diff(set_offsets.astype(np.int64))
+    eligible = np.flatnonzero(lens >= min_len)
+    if eligible.size == 0:
+        return None
+    if eligible.size > h_max:
+        part = np.argpartition(lens[eligible], eligible.size - h_max)
+        hot_ids = eligible[part[eligible.size - h_max:]]
+    else:
+        hot_ids = eligible
+    hot_starts = set_offsets[hot_ids].astype(np.int64)
+    # threshold: every set with len >= T is hot (T = min hot len present);
+    # guaranteed by taking the h_max LONGEST sets
+    thresh = int(lens[hot_ids].min())
+    order = np.argsort(hot_starts)
+    return hot_starts[order].astype(np.int32), thresh, P_pad
+
+
+def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
+                     hot_starts: np.ndarray, P_pad: int) -> np.ndarray:
+    """M bf16[H, P_pad]: M[h, p] = 1 iff protein row p is in hot set h."""
+    M = np.zeros((hot_starts.shape[0], P_pad), dtype=np.float32)
+    ends = set_offsets.astype(np.int64)
+    for h, s in enumerate(hot_starts.astype(np.int64)):
+        e = ends[np.searchsorted(ends, s, side="right")]
+        M[h, postings[s:e]] = 1.0
+    import jax.numpy as jnp  # local: keep module importable host-only
+
+    return jnp.asarray(M, dtype=jnp.bfloat16)
+
+
+def hot_weights(offs, whot, hot_starts):
+    """W f32[G, H]: total position weight each query puts on each hot set.
+
+    offs: int32[G, L] per-position slice starts
+    whot: int32[G, L] run weight at HOT run-start lanes, 0 elsewhere
+          (phase 1 masks wstart by is_run_start & hot)
+    hot_starts: int32[H]
+
+    One [G, L, H] f32 one-hot compare-einsum; every lane of a run carries the
+    same offs, so the run-start masking makes each run contribute exactly
+    once with multiplicity wstart.
+    """
+    ind = (offs[:, :, None] == hot_starts[None, None, :]).astype(jnp.float32)
+    return jnp.einsum("glh,gl->gh", ind, whot.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+
+def topk_dense(vals, k: int, direct_max: int = 16384):
+    """Exact top-k over a dense [G, P] f32 array with the (value desc,
+    index asc) tie-break of lax.top_k, hierarchical for large P.
+
+    P is tiled by 128; the top-k TILES by tile-max provably contain every
+    top-k element: if element x's tile were not selected, >= k tiles have
+    (max, idx) ranking above it, each contributing an element that outranks
+    x.  Selected tiles are re-ordered ascending so candidate index order is
+    global index order, preserving the tie-break.  Returns (values f32[G, k],
+    idx int32[G, k]).
+    """
+    G, P = vals.shape
+    if P <= direct_max or P % 128 or k > P // 128:
+        v, i = jax.lax.top_k(vals, k)
+        return v, i.astype(jnp.int32)
+    T = P // 128
+    tiles = vals.reshape(G, T, 128)
+    tmax = tiles.max(axis=2)
+    _, ti = jax.lax.top_k(tmax, k)                    # [G, k] tile ids
+    ti = jnp.sort(ti, axis=1)                          # ascending: row order
+    cand = jnp.take_along_axis(tiles, ti[:, :, None], axis=1)  # [G, k, 128]
+    v, j = jax.lax.top_k(cand.reshape(G, k * 128), k)
+    tile_of = jnp.take_along_axis(ti, j // 128, axis=1)
+    return v, (tile_of * 128 + j % 128).astype(jnp.int32)
+
+
+def merge_hot_cold(counts_hot, s_rows, cold_counts, is_start, k: int,
+                   k_hot: int = 0):
+    """Exact top-k of total = hot + cold counts via the candidate union.
+
+    counts_hot:  f32[G, P_pad] dense hot counts (W @ M)
+    s_rows:      uint32[G, cap] SORTED cold row multiset (ROW_SENTINEL pad)
+    cold_counts: int32[G, cap]  RLE count at run starts (0 elsewhere)
+    is_start:    bool[G, cap]   run-start lanes of s_rows
+    Returns (counts int32[G, k], hit_rows uint32[G, k]).
+    """
+    G, P = counts_hot.shape
+    cap = s_rows.shape[1]
+    k_hot = k_hot or k
+
+    # cold candidates: every distinct cold row; total = cold + hot[row]
+    safe = jnp.minimum(s_rows, np.uint32(P - 1)).astype(jnp.int32)
+    hot_at_cold = jnp.take_along_axis(counts_hot, safe, axis=1)
+    cold_tot = jnp.where(is_start,
+                         cold_counts + hot_at_cold.astype(jnp.int32), 0)
+
+    # hot candidates: dense top-k; zeroed when the row has any cold count
+    # (it is then already exact among the cold candidates)
+    hv, hi = topk_dense(counts_hot, k_hot)
+    in_cold = (
+        (s_rows[:, None, :] == hi.astype(jnp.uint32)[:, :, None]) & is_start[:, None, :]
+    ).any(axis=2)
+    hot_tot = jnp.where(in_cold, 0, hv.astype(jnp.int32))
+    hot_tot = jnp.where(hv > 0, hot_tot, 0)
+    hot_rows = jnp.where(hot_tot > 0, hi.astype(jnp.uint32), ROW_SENTINEL)
+
+    # union, re-sorted by row so lax.top_k's index preference realizes the
+    # global (count desc, row asc) tie-break
+    rows_u = jnp.concatenate(
+        [jnp.where(cold_tot > 0, s_rows, ROW_SENTINEL), hot_rows], axis=1)
+    tot_u = jnp.concatenate([cold_tot, hot_tot], axis=1)
+    rows_s, tot_s = jax.lax.sort((rows_u, tot_u), num_keys=1)
+    top_counts, top_pos = jax.lax.top_k(tot_s, k)
+    hit_rows = jnp.take_along_axis(rows_s, top_pos, axis=1)
+    hit_rows = jnp.where(top_counts > 0, hit_rows, ROW_SENTINEL)
+    return top_counts, hit_rows
+
+
+def hot_lane_mask(whot, run_start):
+    """bool[G, L]: lanes belonging to a HOT run, forward-filled from the
+    run-start mask (whot > 0) without gathers -- the cummax-of-(2*run_start
+    + bit) trick of ops/count.py:expand_run_bitmaps."""
+    t = run_start * 2 + (whot > 0).astype(jnp.int32)
+    return (jax.lax.cummax(t, axis=1) & 1).astype(jnp.bool_)
+
+
+def hot_position_bitmaps(offs, hot_lanes, hot_starts, MT, hits):
+    """bool[G, K, L]: for each top hit, which query positions sit in a HOT
+    run whose set contains the hit (the hot half of StoreMatchPositions,
+    search.go:442-452; the cold half comes from member_bitmap_from_rows).
+
+    MT: bf16[P_pad, H] (transposed membership, precomputed at engine init);
+    hits: uint32[G, K].  M columns at the k hit rows are row-gathered from
+    MT, then combined with the per-lane one-hot over hot_starts on the MXU.
+    """
+    G, L = offs.shape
+    P, H = MT.shape
+    safe = jnp.minimum(hits, np.uint32(P - 1)).astype(jnp.int32)
+    mcols = jnp.take(MT, safe.reshape(-1), axis=0).reshape(
+        G, hits.shape[1], H)                                   # [G, K, H]
+    ind = ((offs[:, :, None] == hot_starts[None, None, :])
+           & hot_lanes[:, :, None]).astype(jnp.bfloat16)       # [G, L, H]
+    acc = jnp.einsum("glh,gkh->gkl", ind, mcols,
+                     preferred_element_type=jnp.float32)
+    return acc > 0.5

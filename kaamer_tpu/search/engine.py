@@ -205,7 +205,7 @@ class PositionBitmapServing:
 class SearchEngine(PositionBitmapServing):
     """Holds the device-resident index and runs batched searches."""
 
-    def __init__(self, art: DBArtifact):
+    def __init__(self, art: DBArtifact, hot: bool = True):
         if not art.indexed:
             raise ValueError("database is not indexed; run index_db first")
         import jax
@@ -232,28 +232,54 @@ class SearchEngine(PositionBitmapServing):
         self.hash_log2 = art.hash_log2
         self._cap_hint = CAP_MIN
 
-        # two-phase dispatch: phase 1 probes + dedups the whole batch and
-        # reports exact per-query totals; the host then schedules phase 2
-        # in totals-sorted GROUPS, each at the cap bucket it needs.  One
-        # postings-heavy query therefore never drags 2048 light queries to
-        # its expansion capacity (a ~6x device-time tax on skewed data).
+        # hot-set dense counting (ops/hotset.py): the longest postings sets
+        # are counted by one MXU matmul against a precomputed membership
+        # matrix instead of being expanded -- on skewed databases the
+        # per-entry postings gather is ~90% of device time otherwise
+        # (scripts/profile_skew.py).  None => feature off (small/random DBs,
+        # or P beyond the dense budget) and everything runs the plain path.
+        from ..ops import hotset
+
+        self.hot_starts = None
+        self.hot_thresh = 1 << 30
+        self.M = self.MT = None
+        hot = hotset.select_hot_sets(so, art.num_proteins) if hot else None
+        if hot is not None:
+            hot_starts_np, self.hot_thresh, P_pad = hot
+            self.hot_starts = jnp.asarray(hot_starts_np)
+            self.M = hotset.build_membership(self.postings_np, so,
+                                             hot_starts_np, P_pad)
+            self.MT = jnp.asarray(self.M).T
+
+        # two-phase dispatch: phase 1 probes + dedups the whole batch,
+        # splits hot runs out of the expansion, and reports exact per-query
+        # COLD totals; the host then schedules phase 2 in totals-sorted
+        # GROUPS, each at the cap bucket it needs.  One postings-heavy query
+        # therefore never drags 2048 light queries to its expansion capacity
+        # (a ~6x device-time tax on skewed data).
         self._p1 = jax.jit(
             partial(_phase1_impl, hash_log2=self.hash_log2,
-                    miss_start=self.miss_start),
+                    miss_start=self.miss_start,
+                    hot_thresh=self.hot_thresh),
             static_argnames=("width",),
         )
         self._p2 = jax.jit(
             _phase2_grouped_impl,
             static_argnames=("cap", "k", "positions"),
         )
+        self._p2h = jax.jit(
+            _phase2_hot_impl,
+            static_argnames=("cap", "k", "positions"),
+        )
         # row selection is jitted separately so _p2's compiled shapes depend
         # only on (G, L, cap, k, positions), not on the source batch size
         self._sel = jax.jit(
-            lambda offs, cum, w, rs, idx: (
+            lambda offs, cum, w, rs, wh, idx: (
                 jnp.take(offs, idx, axis=0),
                 jnp.take(cum, idx, axis=0),
                 jnp.take(w, idx, axis=0),
                 jnp.take(rs, idx, axis=0),
+                jnp.take(wh, idx, axis=0),
             )
         )
 
@@ -313,10 +339,11 @@ class SearchEngine(PositionBitmapServing):
 
         outs1 = self._p1(self.table, jnp.asarray(wire), jnp.asarray(n_kmers),
                          width=width)
-        offs, cum, wstart, run_start, totals = outs1
-        # only the tiny exact-totals vector comes back eagerly; everything
+        totals, hot_sums = outs1[5], outs1[6]
+        # only the tiny exact-totals vectors come back eagerly; everything
         # else stays on device for the phase-2 groups
         totals.copy_to_host_async()
+        hot_sums.copy_to_host_async()
         return (outs1, list(sizes), k, L, positions, cap)
 
     # Sub-batch size for overflow re-runs: postings-heavy outliers re-run in
@@ -342,8 +369,8 @@ class SearchEngine(PositionBitmapServing):
         if handle is None:
             return []
         (outs1, sizes, k, L, positions, cap_pin) = handle
-        offs, cum, wstart, run_start, totals = outs1
-        totals_h = self._jax.device_get(totals)
+        offs = outs1[0]
+        totals_h, hot_h = self._jax.device_get((outs1[5], outs1[6]))
         B = int(offs.shape[0])
         B_real = len(sizes)
         max_total = int(totals_h[:B_real].max()) if B_real else 0
@@ -355,9 +382,13 @@ class SearchEngine(PositionBitmapServing):
 
         G = min(self.GROUP_B, B)
         limit_g = _cap_floor(MAX_EXPANSION_ELEMS // G)
-        order = sorted(range(B_real), key=lambda i: -int(totals_h[i]))
+        # hot queries first (they share the matmul-path groups), then
+        # cold-only; within each class totals-sorted so group caps track
+        # the workload's totals distribution instead of its max
+        order = sorted(range(B_real),
+                       key=lambda i: (int(hot_h[i]) == 0, -int(totals_h[i])))
         normal: List[int] = []
-        chunks: List[tuple] = []  # (rows, G_c, cap_c)
+        chunks: List[tuple] = []  # (rows, G_c, cap_c, hot)
         heavy: List[int] = []
         for i in order:
             t = int(totals_h[i])
@@ -368,26 +399,31 @@ class SearchEngine(PositionBitmapServing):
                 heavy.append(i)
             else:
                 normal.append(i)
+
+        def any_hot(rows):
+            return self.hot_starts is not None and any(
+                int(hot_h[i]) for i in rows)
+
         # outliers: RERUN_B-wide chunks at plain pow2 caps (rare, so halving
         # the compiled-shape count beats the fine cap grid's device saving)
         for c0 in range(0, len(heavy), self.RERUN_B):
             rows = heavy[c0 : c0 + self.RERUN_B]
             cap_c = min(_next_pow2(max(int(totals_h[i]) for i in rows)),
                         CAP_MAX)
-            chunks.append((rows, self.RERUN_B, cap_c))
+            chunks.append((rows, self.RERUN_B, cap_c, any_hot(rows)))
         # the bulk: totals-sorted groups at the fine-grid cap they need
         for c0 in range(0, len(normal), G):
             rows = normal[c0 : c0 + G]
             cap_c = cap_pin or _cap_bucket(
                 max((int(totals_h[i]) for i in rows), default=CAP_MIN))
             chunks.append((rows, G, min(cap_c, limit_g) if not cap_pin
-                           else cap_c))
+                           else cap_c, any_hot(rows)))
 
         pending = []
-        for rows, G_c, cap_c in chunks:
+        for rows, G_c, cap_c, hot in chunks:
             pending.append(
                 (rows, self._dispatch_group(outs1, rows, G_c, cap_c, k_full,
-                                            L, positions))
+                                            L, positions, hot))
             )
 
         for rows, (outs2, pos_dev) in pending:
@@ -408,18 +444,24 @@ class SearchEngine(PositionBitmapServing):
         return [results[i] for i in range(B_real)]
 
     def _dispatch_group(self, outs1, rows: List[int], G: int, cap: int,
-                        k_full: int, L: int, positions: bool):
+                        k_full: int, L: int, positions: bool,
+                        hot: bool = False):
         """Dispatch one phase-2 group (async); returns (outputs, pos_dev)."""
         import jax.numpy as jnp
 
-        offs, cum, wstart, run_start, _ = outs1
+        offs, cum, wstart, run_start, whot = outs1[:5]
         idx = np.zeros(G, dtype=np.int32)
         idx[: len(rows)] = rows
-        sel = self._sel(offs, cum, wstart, run_start, jnp.asarray(idx))
+        sel = self._sel(offs, cum, wstart, run_start, whot, jnp.asarray(idx))
         k2 = min(k_full, cap)
         pos_dev = positions and _positions_on_device(cap, k2, L, G)
-        outs2 = self._p2(self.postings, *sel, cap=cap, k=k2,
-                         positions=pos_dev)
+        if hot:
+            outs2 = self._p2h(self.postings, self.M, self.MT,
+                              self.hot_starts, *sel, cap=cap, k=k_full,
+                              positions=pos_dev)
+        else:
+            outs2 = self._p2(self.postings, *sel[:4], cap=cap, k=k2,
+                             positions=pos_dev)
         for arr in outs2:
             arr.copy_to_host_async()
         return outs2, pos_dev
@@ -476,6 +518,27 @@ class SearchEngine(PositionBitmapServing):
                                 cap=capv, adapt_hint=False))
                         except Exception:
                             pass
+        # hot-path shapes can't be reached with synthetic query text (poly-A
+        # k-mers never land on hot sets), so compile _p2h directly
+        if self.hot_starts is not None:
+            import jax.numpy as jnp
+
+            G = self.GROUP_B
+            k_full = _next_pow2(max(10, TOPK_MIN))
+            for L in lengths:
+                for pos in positions:
+                    for capv in caps:
+                        try:
+                            z = jnp.zeros((G, L), jnp.int32)
+                            self._p2h(
+                                self.postings, self.M, self.MT,
+                                self.hot_starts,
+                                jnp.full((G, L), self.miss_start, jnp.int32),
+                                z, z + 1, z, z, cap=capv, k=k_full,
+                                positions=pos and _positions_on_device(
+                                    capv, k_full, L, G))
+                        except Exception:
+                            pass
 
 # ---------------------------------------------------------------------------
 # jitted implementation
@@ -483,14 +546,19 @@ class SearchEngine(PositionBitmapServing):
 
 
 def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
-                 width: int = 0):
+                 hot_thresh=1 << 30, width: int = 0):
     """codes: int8/int32[B, L+6] residue codes, or (width>0) a packed wire
     format with width == L+6: uint32 from codec.pack_codes7 (the serving
     path) or uint16 from codec.pack_codes3 (dtype selects the decoder).
 
     The cuckoo probe resolves each k-mer's (start, len) postings slice in
     exactly two row-gathers (ops/probe.py); masked lanes and misses get
-    (miss_start, 0)."""
+    (miss_start, 0).
+
+    Runs whose slice length >= hot_thresh are HOT (served by the dense
+    matmul path, ops/hotset.py): their lengths are zeroed out of the
+    expansion cumsum and their run weights reported separately in whot, so
+    the returned totals are COLD expansion volume only."""
     import jax
     import jax.numpy as jnp
 
@@ -514,8 +582,45 @@ def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
     from ..ops.count import dedup_runs
 
     lens_u, wstart, run_start = dedup_runs(offs, lens)
-    cum = jnp.cumsum(lens_u, axis=1).astype(jnp.int32)
-    return offs, cum, wstart, run_start, cum[:, -1]
+    hot = lens >= jnp.int32(hot_thresh)
+    whot = jnp.where(hot & (lens_u > 0), wstart, 0).astype(jnp.int32)
+    cum = jnp.cumsum(jnp.where(hot, 0, lens_u), axis=1).astype(jnp.int32)
+    return offs, cum, wstart, run_start, whot, cum[:, -1], whot.sum(axis=1)
+
+
+def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum, wstart,
+                     run_start, whot, *, cap, k, positions=False):
+    """Phase 2 for a group containing hot runs: cold expansion + dense hot
+    matmul + exact candidate-union merge (ops/hotset.py).
+
+    Returns the same (counts, hit_rows[, bitmaps]) contract as
+    _phase2_grouped_impl; results are identical to expanding the hot sets,
+    integer-exact (f32 accumulation of ints < 2^24)."""
+    import jax.numpy as jnp
+
+    from ..ops.count import (expand_run_bitmaps, gather_postings,
+                             member_bitmap_from_rows, pack_bits, sort_rle)
+    from ..ops.hotset import (hot_lane_mask, hot_position_bitmaps,
+                              hot_weights, merge_hot_cold)
+
+    total = cum[:, -1]
+    rows, seg, valid, w = gather_postings(postings, offs, cum, total, cap,
+                                          wstart=wstart)
+    s_rows, cold_counts, is_start = sort_rle(rows, weights=w)
+    W = hot_weights(offs, whot, hot_starts)
+    counts_hot = jnp.dot(W, M.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    counts, hit_rows = merge_hot_cold(counts_hot, s_rows, cold_counts,
+                                      is_start, k)
+    if not positions:
+        return counts, hit_rows
+    found = member_bitmap_from_rows(rows, seg, hit_rows, offs.shape[1])
+    found = expand_run_bitmaps(found, run_start)
+    hot_lanes = hot_lane_mask(whot, run_start)
+    found = found | hot_position_bitmaps(offs, hot_lanes, hot_starts, MT,
+                                         hit_rows)
+    found = found & (counts[:, :, None] > 0)
+    return counts, hit_rows, pack_bits(found)
 
 
 def _phase2_impl(postings, offs, cum, wstart, *, cap: int, k: int):

@@ -73,6 +73,78 @@ def gather_bench(n_buckets: int, width: int):
           f"{rate/1e6:7.1f}M rows/s", flush=True)
 
 
+def windowed_gather_bench(n_buckets: int, width: int, window: int):
+    """E5: one lax.gather of a `window`-row slice per probe (candidate
+    layout: 2-choice cuckoo confined to ADJACENT rows, so both candidate
+    buckets arrive in ONE gather).  Cost question: does the gather engine
+    charge per slice or per row?"""
+    mask = jnp.uint32(n_buckets - 1 - (window - 1))
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+
+    @jax.jit
+    def run(table, idx0):
+        def body(i, carry):
+            s, idx = carry
+            starts = (idx & mask).astype(jnp.int32)[:, None]
+            rows = jax.lax.gather(
+                table, starts, dnums, slice_sizes=(window, width),
+                mode=jax.lax.GatherScatterMode.CLIP)
+            s = s + rows[:, 0, 0].astype(jnp.uint32).sum()
+            idx = idx * LCG_A + (LCG_C + i.astype(jnp.uint32))
+            return s, idx
+        s, _ = jax.lax.fori_loop(0, ITERS, body, (jnp.uint32(0), idx0))
+        return s
+
+    table = jnp.arange(n_buckets * width, dtype=jnp.uint32).reshape(
+        n_buckets, width)
+    idx0 = jnp.arange(N, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    try:
+        dt = timed(run, table, idx0)
+    except Exception as e:
+        print(f"E5 wgather win={window} width={width}: FAILED "
+              f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+        return
+    rate = N * ITERS / dt
+    print(f"E5 wgather buckets=2^{n_buckets.bit_length()-1} width={width:3d}"
+          f" window={window} ({window*width*4:4d}B slices): {dt*1e3:8.2f} "
+          f"ms/call {rate/1e6:7.1f}M slices/s", flush=True)
+
+
+def sorted_gather_bench(n_buckets: int, width: int, kind: str):
+    """E6: gather-row cost vs index locality.  'sorted' = ascending indices
+    (maximal page locality), 'runs' = postings-expansion-like runs of 16
+    consecutive rows, 'random' = LCG (the E1 baseline)."""
+    @jax.jit
+    def run(table, idx):
+        def body(i, carry):
+            s, shift = carry
+            rows = jnp.take(table, (idx + shift) & jnp.int32(n_buckets - 1),
+                            axis=0)
+            s = s + rows[:, 0].astype(jnp.uint32).sum()
+            return s, shift + jnp.int32(12345)
+        s, _ = jax.lax.fori_loop(0, ITERS, body, (jnp.uint32(0), jnp.int32(0)))
+        return s
+
+    table = jnp.arange(n_buckets * width, dtype=jnp.uint32).reshape(
+        n_buckets, width)
+    if kind == "sorted":
+        idx = np.sort((np.arange(N, dtype=np.int64) * 2654435761
+                       % n_buckets).astype(np.int32))
+    elif kind == "runs":
+        base = (np.arange(N // 16, dtype=np.int64) * 2654435761
+                % n_buckets).astype(np.int32)
+        idx = (base[:, None] + np.arange(16, dtype=np.int32)[None, :]
+               ).reshape(-1) % n_buckets
+    else:
+        idx = (np.arange(N, dtype=np.int64) * 2654435761 % n_buckets).astype(
+            np.int32)
+    dt = timed(run, table, jnp.asarray(idx))
+    rate = N * ITERS / dt
+    print(f"E6 gather  {kind:6s} width={width:3d}: {dt*1e3:8.2f} ms/call "
+          f"{rate/1e6:7.1f}M rows/s", flush=True)
+
+
 def sort_bench(kind: str):
     @jax.jit
     def run_flat(x0):
@@ -243,6 +315,16 @@ def main():
         gather_bench(1 << 22, 4)
         gather_bench(1 << 22, 2)
         gather_bench(1 << 24, 2)
+    if which in ("all", "e5"):
+        windowed_gather_bench(1 << 19, 6, 2)   # adjacent-window cuckoo probe
+        windowed_gather_bench(1 << 19, 6, 1)   # slice-form control
+        windowed_gather_bench(1 << 19, 12, 1)  # duplicated-row 48B control
+        windowed_gather_bench(1 << 22, 6, 2)   # big-table variant
+    if which in ("all", "e6"):
+        for kind in ("random", "runs", "sorted"):
+            sorted_gather_bench(1 << 19, 6, kind)
+        for kind in ("random", "runs"):
+            sorted_gather_bench(1 << 22, 1, kind)  # postings-expansion regime
     if which in ("all", "e2"):
         for kind in ("flat", "pair", "rows"):
             sort_bench(kind)

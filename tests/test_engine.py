@@ -211,11 +211,12 @@ def heavy_db(tmp_path_factory):
 
 
 def test_grouped_caps_track_totals(heavy_db, monkeypatch):
-    """Phase-2 groups are totals-sorted: heavy queries (shared hot segment)
-    and light ones land in different groups with different cap buckets, and
-    both resolve exactly (no single-cap batch tax)."""
+    """Phase-2 groups are totals-sorted: with the hot-set path disabled,
+    heavy queries (shared hot segment) and light ones land in different
+    groups with different cap buckets, and both resolve exactly (no
+    single-cap batch tax)."""
     art, oracle, seqs, shared = heavy_db
-    engine = SearchEngine(art)
+    engine = SearchEngine(art, hot=False)
     monkeypatch.setattr(SearchEngine, "GROUP_B", 4)
 
     heavy = [seqs[0], seqs[1], seqs[2], seqs[3]]   # hot segment, total ~400+
@@ -237,6 +238,46 @@ def test_grouped_caps_track_totals(heavy_db, monkeypatch):
     caps = sorted({cap for _, cap in calls})
     assert len(calls) == 2 and len(caps) == 2, calls
     assert caps[0] == 256 and caps[1] >= 512, calls
+
+    ext = np.asarray(art.protein_ids)
+    for q, size, qc in zip(queries, sizes, res):
+        got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+        want, _ = oracle.kmer_search(q, size)
+        assert got == want[: len(got)], q[:20]
+
+
+def test_hot_path_small_caps_and_exact(heavy_db, monkeypatch):
+    """With the hot-set dense path on (the default), the shared segment's
+    postings are counted by the W @ M matmul: heavy queries stay at the
+    minimum cap (their COLD expansion volume is tiny), route through _p2h,
+    and results match the oracle exactly."""
+    art, oracle, seqs, shared = heavy_db
+    engine = SearchEngine(art)
+    assert engine.hot_starts is not None
+    monkeypatch.setattr(SearchEngine, "GROUP_B", 4)
+
+    heavy = [seqs[0], seqs[1], seqs[2], seqs[3]]
+    light = [seqs[-1][:40], seqs[-2][:30], seqs[-3][:40], seqs[-4][:30]]
+    queries = heavy + light + [shared * 3]  # plus a pure-hot query
+    sizes = [len(q) - 6 for q in queries]
+
+    calls = {"hot": [], "cold": []}
+    orig_h, orig_c = engine._p2h, engine._p2
+
+    def counting_p2h(*a, **kw):
+        calls["hot"].append(kw["cap"])
+        return orig_h(*a, **kw)
+
+    def counting_p2(*a, **kw):
+        calls["cold"].append(kw["cap"])
+        return orig_c(*a, **kw)
+
+    engine._p2h, engine._p2 = counting_p2h, counting_p2
+    res = engine.count_batch(queries, sizes, k=10)
+    engine._p2h, engine._p2 = orig_h, orig_c
+
+    assert calls["hot"], calls           # heavy queries used the dense path
+    assert all(c == 256 for c in calls["hot"] + calls["cold"]), calls
 
     ext = np.asarray(art.protein_ids)
     for q, size, qc in zip(queries, sizes, res):
@@ -285,7 +326,7 @@ def test_warmup_does_not_change_group_caps(heavy_db):
     junk batches cannot perturb the caps a real workload gets (the round-1
     warmup/cap-hint interference bug class is structurally gone)."""
     art, _, seqs, _ = heavy_db
-    engine = SearchEngine(art)
+    engine = SearchEngine(art, hot=False)
 
     def caps_of(queries):
         calls = []
@@ -314,6 +355,21 @@ def test_warmup_precompiles_without_error(synth_db):
     q = art.protein(0).Sequence
     (qc,) = engine.count_batch([q], [len(q) - 6], k=5)
     assert qc.counts.size > 0
+
+
+def test_warmup_precompiles_hot_shapes(heavy_db):
+    """On a DB with hot sets, warmup also compiles the _p2h shapes and the
+    engine answers hot queries correctly afterwards."""
+    art, oracle, seqs, _ = heavy_db
+    engine = SearchEngine(art)
+    assert engine.hot_starts is not None
+    engine.warmup(batch_sizes=(16,), lengths=(16,), positions=(False, True))
+    q = seqs[0]
+    (qc,) = engine.count_batch([q], [len(q) - 6], k=5)
+    ext = np.asarray(art.protein_ids)
+    got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+    want, _ = oracle.kmer_search(q, len(q) - 6)
+    assert got == want[: len(got)]
 
 
 @pytest.fixture(scope="module")
@@ -396,7 +452,9 @@ def test_expansion_budget_escalates_outliers(heavy_db, monkeypatch):
     import kaamer_tpu.search.engine as eng_mod
 
     art, oracle, seqs, shared = heavy_db
-    engine = SearchEngine(art)
+    # hot=False: with the dense hot path on, the heavy queries' COLD totals
+    # are tiny and nothing escalates (test_hot_path_small_caps_and_exact)
+    engine = SearchEngine(art, hot=False)
     # budget of 2^12 elements at G=16 -> group cap limit 256, below the
     # heavy queries' ~400+ deduped totals
     monkeypatch.setattr(eng_mod, "MAX_EXPANSION_ELEMS", 1 << 12)

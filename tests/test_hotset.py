@@ -1,0 +1,144 @@
+"""Hot-set dense counting path (ops/hotset.py + engine._p2h).
+
+The engine-level exactness is covered by test_engine's heavy_db tests; this
+file stresses the primitives: the hierarchical exact top-k (tie-breaks
+included), hot-set selection, and a randomized differential fuzz of the
+full engine on a skewed database against the dict oracle.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from oracle import OracleDB
+
+from kaamer_tpu.index.artifact import load_db
+from kaamer_tpu.index.build import build_db
+from kaamer_tpu.ops import hotset
+from kaamer_tpu.search.engine import SearchEngine
+
+AA = list("ACDEFGHIKLMNPQRSTVWY")
+
+
+def _np_topk(vals, k):
+    """Reference (value desc, index asc) top-k."""
+    order = np.argsort(-vals, axis=-1, kind="stable")[..., :k]
+    return np.take_along_axis(vals, order, axis=-1), order
+
+
+@pytest.mark.parametrize("P", [1024, 32768])  # direct and hierarchical
+def test_topk_dense_matches_reference(P):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    G, k = 8, 32
+    # few distinct values => dense ties across and inside tiles
+    vals = rng.integers(0, 6, size=(G, P)).astype(np.float32)
+    v, i = hotset.topk_dense(jnp.asarray(vals), k)
+    want_v, want_i = _np_topk(vals, k)
+    np.testing.assert_array_equal(np.asarray(v), want_v)
+    np.testing.assert_array_equal(np.asarray(i), want_i)
+
+
+def test_topk_dense_tile_boundary_ties():
+    """All top values equal and spread across many tiles: the selected
+    tiles must be the lowest-indexed ones, giving row-ascending results."""
+    import jax.numpy as jnp
+
+    G, P, k = 2, 32768, 16
+    vals = np.zeros((G, P), dtype=np.float32)
+    pos = np.arange(0, P, 128) + 77          # one candidate per tile
+    vals[:, pos] = 5.0
+    v, i = hotset.topk_dense(jnp.asarray(vals), k)
+    np.testing.assert_array_equal(np.asarray(v), np.full((G, k), 5.0))
+    np.testing.assert_array_equal(np.asarray(i), np.tile(pos[:k], (G, 1)))
+
+
+def test_select_hot_sets_threshold_and_budget():
+    # sets of lengths 1..100: with h_max=10 the 10 longest are hot
+    lens = np.arange(1, 101)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.uint64)
+    hot = hotset.select_hot_sets(offsets, num_proteins=200, h_max=10)
+    hot_starts, thresh, P_pad = hot
+    assert thresh == 91 and hot_starts.shape == (10,) and P_pad == 256
+    # starts are sorted and correspond to the 10 longest sets
+    assert list(hot_starts) == sorted(hot_starts)
+    # none eligible => disabled
+    assert hotset.select_hot_sets(
+        np.arange(5, dtype=np.uint64), num_proteins=10) is None
+
+
+@pytest.fixture(scope="module")
+def skewed_db(tmp_path_factory):
+    """Small power-law DB: popular domains shared by many proteins (hot
+    sets), rare domains (cold sets), random linkers (tiny sets/misses)."""
+    rng = np.random.default_rng(5)
+    doms = ["".join(rng.choice(AA, size=int(rng.integers(14, 40))))
+            for _ in range(24)]
+    pop = 1.0 / (np.arange(24) + 2.0)
+    pop /= pop.sum()
+    seqs = []
+    for i in range(500):
+        parts = []
+        for _ in range(int(rng.integers(1, 4))):
+            parts.append("".join(rng.choice(AA, size=int(rng.integers(6, 18)))))
+            parts.append(doms[int(rng.choice(24, p=pop))])
+        parts.append("".join(rng.choice(AA, size=10)))
+        seqs.append("".join(parts))
+    tmp = tmp_path_factory.mktemp("skewed")
+    fasta = str(tmp / "in.fasta")
+    with open(fasta, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">S{i:05d} skew\n{s}\n")
+    dbdir = str(tmp / "db")
+    build_db(dbdir, fasta, "fasta")
+    art = load_db(dbdir)
+    oracle = OracleDB(
+        [(int(art.protein_ids[i]), art.protein(i))
+         for i in range(art.num_proteins)])
+    return art, oracle, seqs, doms
+
+
+def test_hot_engine_fuzz_vs_oracle(skewed_db):
+    """Randomized mixed batch (hot-heavy, cold-only, mutated, pure-domain,
+    miss-only queries) through the default engine is bit-identical to the
+    oracle, with and without positions."""
+    art, oracle, seqs, doms = skewed_db
+    engine = SearchEngine(art)
+    assert engine.hot_starts is not None
+
+    rng = np.random.default_rng(11)
+    queries = []
+    for i in range(40):
+        kind = i % 5
+        if kind == 0:
+            queries.append(seqs[int(rng.integers(0, len(seqs)))])
+        elif kind == 1:
+            s = list(seqs[int(rng.integers(0, len(seqs)))])
+            for _ in range(4):
+                s[int(rng.integers(0, len(s)))] = AA[int(rng.integers(0, 20))]
+            queries.append("".join(s))
+        elif kind == 2:
+            queries.append(doms[int(rng.integers(0, 3))] * 2)   # pure hot
+        elif kind == 3:
+            queries.append("".join(rng.choice(AA, size=30)))    # mostly miss
+        else:
+            d = doms[int(rng.integers(0, len(doms)))]
+            queries.append(d + "".join(rng.choice(AA, size=12)) + d)
+    sizes = [len(q) - 6 for q in queries]
+
+    ext = np.asarray(art.protein_ids)
+    for positions in (False, True):
+        res = engine.count_batch(queries, sizes, k=10, positions=positions)
+        for q, size, qc in zip(queries, sizes, res):
+            got = [(int(ext[int(r)]), int(c))
+                   for r, c in zip(qc.hit_rows, qc.counts)]
+            want, want_pos = oracle.kmer_search(q, size)
+            assert got == want[: len(got)], q[:24]
+            rows = [int(r) for r in qc.hit_rows[:4]]
+            bms = engine.position_bitmaps(qc, rows)
+            for r in rows:
+                assert bms[r] == want_pos[int(ext[r])], q[:24]
