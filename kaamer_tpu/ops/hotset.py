@@ -82,8 +82,10 @@ def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,
 
 
 def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
-                     hot_starts: np.ndarray, P_pad: int) -> np.ndarray:
-    """M bf16[H, P_pad]: M[h, p] = 1 iff protein row p is in hot set h."""
+                     hot_starts: np.ndarray, P_pad: int):
+    """M[H, P_pad]: M[h, p] = 1 iff protein row p is in hot set h.  Stored
+    f32 when it fits the budget (the W @ M matmul then streams it without a
+    per-group bf16->f32 conversion pass), bf16 otherwise."""
     M = np.zeros((hot_starts.shape[0], P_pad), dtype=np.float32)
     ends = set_offsets.astype(np.int64)
     for h, s in enumerate(hot_starts.astype(np.int64)):
@@ -91,6 +93,8 @@ def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
         M[h, postings[s:e]] = 1.0
     import jax.numpy as jnp  # local: keep module importable host-only
 
+    if M.size * 4 <= M_BYTES_BUDGET:
+        return jnp.asarray(M)
     return jnp.asarray(M, dtype=jnp.bfloat16)
 
 
@@ -111,7 +115,7 @@ def hot_weights(offs, whot, hot_starts):
                       preferred_element_type=jnp.float32)
 
 
-def topk_dense(vals, k: int, direct_max: int = 16384):
+def topk_dense(vals, k: int, direct_max: int = 4096):
     """Exact top-k over a dense [G, P] f32 array with the (value desc,
     index asc) tie-break of lax.top_k, hierarchical for large P.
 

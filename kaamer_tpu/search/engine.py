@@ -30,7 +30,9 @@ from ..index.artifact import DBArtifact
 
 KMER_SIZE = 7
 CAP_MAX = 1 << 21
-CAP_MIN = 1 << 8
+# with hot sets served by the dense matmul path, cold expansion volumes sit
+# far below the old 256 floor (p50 ~40 on the skewed bench DB)
+CAP_MIN = 1 << 6
 # MinKMatch/MinKRatio are monotone in Kmatch and hits are ranked by Kmatch
 # desc, so FilterResults keeps a PREFIX of the ranked list; top-k with
 # k >= MaxResults is therefore exact.  16 leaves slack for small MaxResults.
@@ -249,7 +251,7 @@ class SearchEngine(PositionBitmapServing):
             self.hot_starts = jnp.asarray(hot_starts_np)
             self.M = hotset.build_membership(self.postings_np, so,
                                              hot_starts_np, P_pad)
-            self.MT = jnp.asarray(self.M).T
+            self.MT = self.M.astype(jnp.bfloat16).T  # positions path only
 
         # two-phase dispatch: phase 1 probes + dedups the whole batch,
         # splits hot runs out of the expansion, and reports exact per-query
@@ -357,17 +359,25 @@ class SearchEngine(PositionBitmapServing):
     GROUP_B = 256
 
     def resolve_batch(self, handle) -> List[QueryCounts]:
-        """Schedule phase 2 from the batch's exact totals and finalize
-        per-query results.
+        """schedule_batch + collect_batch in one call (see both)."""
+        return self.collect_batch(self.schedule_batch(handle))
+
+    def schedule_batch(self, handle):
+        """Schedule phase 2 from the batch's exact totals: group queries,
+        dispatch every phase-2 chunk asynchronously, and return a handle
+        for collect_batch.  Splitting scheduling from collection lets a
+        serving loop enqueue the next batch's device work before paying
+        this batch's host-side finalization (the device never idles
+        between batches).
 
         Queries are sorted by their phase-1 totals and processed in
-        GROUP_B-wide groups, each group at the smallest cap bucket covering
-        its heaviest member -- so the expansion volume tracks the workload's
+        coalesced groups, each at the smallest cap bucket covering its
+        heaviest member -- so the expansion volume tracks the workload's
         totals distribution instead of its max.  Outliers above the group
         budget re-run in RERUN_B chunks (bounded by RERUN_B * CAP_MAX);
         beyond CAP_MAX a query falls back to an unbounded host bincount."""
         if handle is None:
-            return []
+            return None
         (outs1, sizes, k, L, positions, cap_pin) = handle
         offs = outs1[0]
         totals_h, hot_h = self._jax.device_get((outs1[5], outs1[6]))
@@ -385,13 +395,15 @@ class SearchEngine(PositionBitmapServing):
         # hot queries first (they share the matmul-path groups), then
         # cold-only; within each class totals-sorted so group caps track
         # the workload's totals distribution instead of its max
-        order = sorted(range(B_real),
-                       key=lambda i: (int(hot_h[i]) == 0, -int(totals_h[i])))
+        order = np.lexsort((-totals_h[:B_real],
+                            hot_h[:B_real] == 0)).tolist()
+        totals_l = totals_h.tolist()  # plain ints: the segment loop below
+        hot_l = (hot_h > 0).tolist()  # touches every query once in Python
         normal: List[int] = []
         chunks: List[tuple] = []  # (rows, G_c, cap_c, hot)
         heavy: List[int] = []
         for i in order:
-            t = int(totals_h[i])
+            t = totals_l[i]
             if t > CAP_MAX:
                 results[i] = self._count_host_row(batch_ids, i, sizes[i],
                                                   k_full)
@@ -402,38 +414,91 @@ class SearchEngine(PositionBitmapServing):
 
         def any_hot(rows):
             return self.hot_starts is not None and any(
-                int(hot_h[i]) for i in rows)
+                hot_l[i] for i in rows)
 
         # outliers: RERUN_B-wide chunks at plain pow2 caps (rare, so halving
         # the compiled-shape count beats the fine cap grid's device saving)
         for c0 in range(0, len(heavy), self.RERUN_B):
             rows = heavy[c0 : c0 + self.RERUN_B]
-            cap_c = min(_next_pow2(max(int(totals_h[i]) for i in rows)),
+            cap_c = min(_next_pow2(max(totals_l[i] for i in rows)),
                         CAP_MAX)
             chunks.append((rows, self.RERUN_B, cap_c, any_hot(rows)))
-        # the bulk: totals-sorted groups at the fine-grid cap they need
-        for c0 in range(0, len(normal), G):
-            rows = normal[c0 : c0 + G]
-            cap_c = cap_pin or _cap_bucket(
-                max((int(totals_h[i]) for i in rows), default=CAP_MIN))
-            chunks.append((rows, G, min(cap_c, limit_g) if not cap_pin
-                           else cap_c, any_hot(rows)))
+        # the bulk: queries sharing a cap bucket and hotness COALESCE into
+        # one group (pow2-sized, budget-bounded), so a uniform batch costs
+        # one phase-2 dispatch instead of B/GROUP_B; the totals-desc order
+        # still keeps a heavy quantile from inflating lighter groups' caps
+        i0 = 0
+        while i0 < len(normal):
+            q0 = normal[i0]
+            hot0 = self.hot_starts is not None and hot_l[q0]
+            cap_c = cap_pin or min(_cap_bucket(totals_l[q0]), limit_g)
+            i1 = i0 + 1
+            while i1 < len(normal):
+                q = normal[i1]
+                if (self.hot_starts is not None
+                        and hot_l[q] != hot0) and not cap_pin:
+                    break
+                # queries within 2x of the segment head's cap (or in its
+                # bucket) join it: the bounded expansion waste is cheaper
+                # than another dispatch (and another compiled shape) per
+                # fine cap bucket
+                if not cap_pin:
+                    cq = min(_cap_bucket(totals_l[q]), limit_g)
+                    if cq != cap_c and totals_l[q] * 2 < cap_c:
+                        break
+                i1 += 1
+            seg = normal[i0:i1]
+            i0 = i1
+            # G is quantized to {16, 256, 2048}: every extra (G, cap) pair
+            # is a 20-60s remote compile on a tunneled chip, so shape count
+            # beats padding waste here
+            g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap_c
+                                     ).bit_length() - 1) if not cap_pin else B
+            c0 = 0
+            while c0 < len(seg):
+                rem = len(seg) - c0
+                G_c = 16
+                for g in (2048, 256):
+                    if g <= min(g_budget, B) and rem > g // 2:
+                        G_c = g
+                        break
+                take = min(rem, G_c)
+                chunks.append((seg[c0 : c0 + take], G_c, cap_c, hot0))
+                c0 += take
+
+        # a fully uniform batch is ONE whole-batch group: skip the row
+        # permutation gather entirely (padding rows have no k-mers)
+        identity = (len(chunks) == 1 and not results
+                    and len(chunks[0][0]) == B_real and chunks[0][1] == B)
 
         pending = []
         for rows, G_c, cap_c, hot in chunks:
+            if identity:
+                rows = list(range(B))
             pending.append(
                 (rows, self._dispatch_group(outs1, rows, G_c, cap_c, k_full,
-                                            L, positions, hot))
+                                            L, positions, hot,
+                                            identity=identity))
             )
+        return (pending, results, sizes, B_real, batch_ids)
 
+    def collect_batch(self, sched) -> List[QueryCounts]:
+        """Fetch the scheduled phase-2 chunk outputs (already copied to the
+        host asynchronously) and finalize per-query results."""
+        if sched is None:
+            return []
+        pending, results, sizes, B_real, batch_ids = sched
         for rows, (outs2, pos_dev) in pending:
             ch, hh = self._jax.device_get((outs2[0], outs2[1]))
             bm = None
             if pos_dev:
                 bm = np.unpackbits(self._jax.device_get(outs2[2]), axis=-1,
                                    bitorder="little")
+            ms = (ch > 0).sum(axis=1)  # one vectorized pass, not per query
             for j, i in enumerate(rows):
-                m = int((ch[j] > 0).sum())
+                if i >= B_real:  # identity groups include padding rows
+                    continue
+                m = ms[j]
                 qc = QueryCounts(
                     hit_rows=hh[j][:m], counts=ch[j][:m], _engine=self,
                     _batch=batch_ids, _row=i, _n_kmers=sizes[i],
@@ -445,14 +510,17 @@ class SearchEngine(PositionBitmapServing):
 
     def _dispatch_group(self, outs1, rows: List[int], G: int, cap: int,
                         k_full: int, L: int, positions: bool,
-                        hot: bool = False):
-        """Dispatch one phase-2 group (async); returns (outputs, pos_dev)."""
+                        hot: bool = False, identity: bool = False):
+        """Dispatch one phase-2 group (async); returns (outputs, pos_dev).
+        identity=True skips the row-permutation gather (rows == range(B))."""
         import jax.numpy as jnp
 
-        offs, cum, wstart, run_start, whot = outs1[:5]
-        idx = np.zeros(G, dtype=np.int32)
-        idx[: len(rows)] = rows
-        sel = self._sel(offs, cum, wstart, run_start, whot, jnp.asarray(idx))
+        if identity:
+            sel = outs1[:5]
+        else:
+            idx = np.zeros(G, dtype=np.int32)
+            idx[: len(rows)] = rows
+            sel = self._sel(*outs1[:5], jnp.asarray(idx))
         k2 = min(k_full, cap)
         pos_dev = positions and _positions_on_device(cap, k2, L, G)
         if hot:

@@ -127,7 +127,15 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
     (QueryRecord for protein search; plain tuples on the ORF fast path)."""
     from collections import deque
 
-    pending = deque()
+    # three-stage protocol when the engine supports it: schedule (dispatch
+    # the phase-2 chunks) one batch behind the newest dispatch, so the
+    # device queue never drains while the host finalizes older batches
+    schedule = getattr(engine, "schedule_batch", None)
+    collect = getattr(engine, "collect_batch", None)
+    if schedule is None or collect is None:
+        schedule, collect = (lambda h: h), engine.resolve_batch
+
+    pending = deque()  # entries [batch, handle, sched-or-None]
     cancelled = False
     for batch in batches:
         if cancel is not None and cancel():
@@ -137,13 +145,15 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
             [seq_of(q) for q in batch], [size_of(q) for q in batch], k=k,
             positions=positions,
         )
-        pending.append((batch, handle))
+        pending.append([batch, handle, None])
+        if len(pending) >= 2 and pending[-2][2] is None:
+            pending[-2][2] = schedule(pending[-2][1])
         if len(pending) >= depth:
-            b, h = pending.popleft()
-            yield b, engine.resolve_batch(h)
+            b, h, s = pending.popleft()
+            yield b, collect(s if s is not None else schedule(h))
     while pending:
-        b, h = pending.popleft()
-        res = engine.resolve_batch(h)
+        b, h, s = pending.popleft()
+        res = collect(s if s is not None else schedule(h))
         if not cancelled:
             yield b, res
 

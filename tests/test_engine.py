@@ -237,7 +237,7 @@ def test_grouped_caps_track_totals(heavy_db, monkeypatch):
 
     caps = sorted({cap for _, cap in calls})
     assert len(calls) == 2 and len(caps) == 2, calls
-    assert caps[0] == 256 and caps[1] >= 512, calls
+    assert caps[0] <= 128 and caps[1] >= 512, calls
 
     ext = np.asarray(art.protein_ids)
     for q, size, qc in zip(queries, sizes, res):
@@ -277,7 +277,7 @@ def test_hot_path_small_caps_and_exact(heavy_db, monkeypatch):
     engine._p2h, engine._p2 = orig_h, orig_c
 
     assert calls["hot"], calls           # heavy queries used the dense path
-    assert all(c == 256 for c in calls["hot"] + calls["cold"]), calls
+    assert all(c <= 256 for c in calls["hot"] + calls["cold"]), calls
 
     ext = np.asarray(art.protein_ids)
     for q, size, qc in zip(queries, sizes, res):
