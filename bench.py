@@ -286,8 +286,7 @@ def main() -> None:
         note(f"db n={n}: protein qps ({nq} queries)")
         qps = bench_protein(engine, queries, positions=False, passes=2)
         note(f"db n={n}: protein qps with positions")
-        qps_pos = bench_protein(engine, queries[:2048], positions=True,
-                                passes=2)
+        qps_pos = bench_protein(engine, queries, positions=True, passes=2)
         per_db[str(n)] = {
             "qps": round(qps, 1),
             "qps_positions": round(qps_pos, 1),
