@@ -308,15 +308,20 @@ def nucleotide_search(
                 ),
                 Contig=rec.Contig if not fastq else "",
             )
+            # hits below MinKMatch are dropped by filter_results regardless
+            # (search.go:189-220, monotone in Kmatch over the count-desc
+            # list), so trim BEFORE building Hit objects and bitmaps --
+            # most of the per-ORF host cost scales with the hit count
+            m = int((qc.counts >= opts.MinKMatch).sum())
             hits = [
                 Hit(Key=int(ext_ids[int(r)]), Kmatch=int(c))
-                for r, c in zip(qc.hit_rows, qc.counts)
+                for r, c in zip(qc.hit_rows[:m], qc.counts[:m])
             ]
             # Positions are always extracted for translated queries
             # (search.go:416); compute them for every reported hit candidate.
             # Bitmaps stay numpy bool arrays end to end (argmax start-codon
             # scan, vectorized run formatting, tolist only at JSON time).
-            rows = [int(r) for r in qc.hit_rows]
+            rows = [int(r) for r in qc.hit_rows[:m]]
             bitmaps_rows = engine.position_bitmaps_np(qc, rows)
             position_hits = {
                 int(ext_ids[r]): bm for r, bm in bitmaps_rows.items()
