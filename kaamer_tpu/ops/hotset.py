@@ -71,11 +71,22 @@ def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,
     if eligible.size > h_max:
         part = np.argpartition(lens[eligible], eligible.size - h_max)
         hot_ids = eligible[part[eligible.size - h_max:]]
+        # The hot set must be a PURE length threshold: phase 1 marks every
+        # run with len >= thresh as hot (and drops it from the cold
+        # expansion), so any set at the cut length that argpartition did
+        # NOT select would be silently uncounted.  Drop the whole tie tier
+        # instead; its members stay on the (exact) cold path.
+        thresh = int(lens[hot_ids].min())
+        if int(np.count_nonzero(lens >= thresh)) > hot_ids.size:
+            thresh += 1
+            hot_ids = np.flatnonzero(lens >= thresh)
+            if hot_ids.size == 0:
+                return None
     else:
         hot_ids = eligible
     hot_starts = set_offsets[hot_ids].astype(np.int64)
-    # threshold: every set with len >= T is hot (T = min hot len present);
-    # guaranteed by taking the h_max LONGEST sets
+    # threshold: every set with len >= T is hot, and EXACTLY those sets are
+    # in hot_starts (the tie tier at the cut was dropped above)
     thresh = int(lens[hot_ids].min())
     order = np.argsort(hot_starts)
     return hot_starts[order].astype(np.int32), thresh, P_pad

@@ -80,6 +80,12 @@ def _cap_bucket(n: int) -> int:
 # this constantly; random benchmarks never do.
 MAX_EXPANSION_ELEMS = 1 << 24
 
+# Dense hot-path budget: a hot group's phase 2 materializes counts_hot
+# f32[G, P_pad] plus a [G, L, H] one-hot indicator (ops/hotset.py), neither
+# of which the cold G*cap budget tracks -- without this cap a hot group at
+# G=2048, P_pad=2^18 is a 2 GB intermediate (HBM exhaustion on v5e).
+HOT_DENSE_BYTES = 1 << 28
+
 
 def _cap_floor(limit: int) -> int:
     """Largest allowed capacity bucket <= limit (>= CAP_MIN)."""
@@ -362,6 +368,24 @@ class SearchEngine(PositionBitmapServing):
         """schedule_batch + collect_batch in one call (see both)."""
         return self.collect_batch(self.schedule_batch(handle))
 
+    def _hot_g_max(self, L: int) -> int:
+        """Largest (pow2) hot-group width within the dense-path budget."""
+        H = int(self.hot_starts.shape[0])
+        P_pad = int(self.M.shape[1])
+        per_g = 4 * max(P_pad, L * H)
+        return max(16, 1 << max(0, (HOT_DENSE_BYTES // per_g).bit_length() - 1))
+
+    def _quantized_groups(self, cap: int, B: int, hot: bool,
+                          L: int) -> List[int]:
+        """The group widths schedule_batch can emit for this (cap, hot, L):
+        {16, 256, 2048} clamped by the expansion and dense-path budgets.
+        warmup iterates exactly this set, so a warmed engine never compiles
+        a new phase-2 shape at serving time."""
+        g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap).bit_length() - 1)
+        if hot and self.hot_starts is not None:
+            g_budget = min(g_budget, self._hot_g_max(L))
+        return [g for g in (16, 256, 2048) if g <= min(g_budget, B) or g == 16]
+
     def schedule_batch(self, handle):
         """Schedule phase 2 from the batch's exact totals: group queries,
         dispatch every phase-2 chunk asynchronously, and return a handle
@@ -454,6 +478,10 @@ class SearchEngine(PositionBitmapServing):
             # beats padding waste here
             g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap_c
                                      ).bit_length() - 1) if not cap_pin else B
+            if hot0:
+                # the dense hot path's [G, P_pad] / [G, L, H] intermediates
+                # are budgeted separately (HOT_DENSE_BYTES)
+                g_budget = min(g_budget, self._hot_g_max(L))
             c0 = 0
             while c0 < len(seg):
                 rem = len(seg) - c0
@@ -522,7 +550,10 @@ class SearchEngine(PositionBitmapServing):
             idx[: len(rows)] = rows
             sel = self._sel(*outs1[:5], jnp.asarray(idx))
         k2 = min(k_full, cap)
-        pos_dev = positions and _positions_on_device(cap, k2, L, G)
+        # the hot path ranks k_full candidates (its dense top-k is not cap-
+        # bounded), so its bitmap-cost check must use k_full, not k2
+        pos_dev = positions and _positions_on_device(
+            cap, k_full if hot else k2, L, G)
         if hot:
             outs2 = self._p2h(self.postings, self.M, self.MT,
                               self.hot_starts, *sel, cap=cap, k=k_full,
@@ -561,52 +592,73 @@ class SearchEngine(PositionBitmapServing):
         qc._lens = lens
         return qc
 
+    # Expansion-cap ladder warmup compiles by default: the buckets a skewed
+    # workload's scheduler actually emits (observed grid on the bench DBs);
+    # workloads whose totals exceed the ladder still pay a first-hit compile.
+    WARM_CAPS = (CAP_MIN, 80, 96, 128, 160, 192, 256, 320, 384, 512)
+
     def warmup(self, batch_sizes=(16, 2048), lengths=(64, 128, 256, 512),
-               positions=(False, True), caps=(CAP_MIN,)) -> None:
-        """Pre-compile the common shape buckets: interactive (B=16) and the
-        bulk pipeline's BATCH_MAX=2048, across the small expansion-cap grid.
+               positions=(False, True), caps=None) -> None:
+        """Pre-compile the serving shape grid: phase 1 per (B, L), and EVERY
+        phase-2 shape the group scheduler can emit for the cap ladder --
+        (G, L, cap, positions) for the cold path and the hot matmul path,
+        with G iterating exactly self._quantized_groups (so a warmed engine
+        triggers no new _p2/_p2h compiles on a workload inside the ladder;
+        tests/test_engine.py asserts this).
 
         Remote compiles cost 20-60s each over a tunneled chip, so a server's
         first odd-shaped query would otherwise stall; run this (typically in
         a background thread at startup) to populate the in-process and
-        persistent compile caches.  Warmup batches pin their cap and never
-        touch the adaptive cap hint (adapt_hint=False), so a concurrent live
-        workload's adaptation is unaffected.  Errors are ignored -- warmup
-        is best effort."""
-        for B in batch_sizes:
-            for L in lengths:
-                for pos in positions:
-                    for capv in caps:
-                        try:
-                            seq = "A" * min(L + KMER_SIZE - 1, 64)
-                            seqs = [seq] * B
-                            sizes = [len(seq) - KMER_SIZE + 1] * (B - 1) + [L]
-                            self.resolve_batch(self.dispatch_batch(
-                                seqs, sizes, k=10, positions=pos,
-                                cap=capv, adapt_hint=False))
-                        except Exception:
-                            pass
-        # hot-path shapes can't be reached with synthetic query text (poly-A
-        # k-mers never land on hot sets), so compile _p2h directly
-        if self.hot_starts is not None:
-            import jax.numpy as jnp
+        persistent compile caches.  Shapes are ordered most-likely-first
+        (no-position bulk shapes before position/hot tails) so early
+        coverage matters even if the thread is still running at first
+        query.  Warmup batches pin their cap and never touch the adaptive
+        cap hint; errors are ignored -- warmup is best effort."""
+        caps = tuple(caps) if caps else self.WARM_CAPS
+        # phase 1 + scheduler plumbing, one dispatch per (B, L, positions)
+        for pos in positions:
+            for B in batch_sizes:
+                for L in lengths:
+                    try:
+                        seq = "A" * min(L + KMER_SIZE - 1, 64)
+                        seqs = [seq] * B
+                        sizes = [len(seq) - KMER_SIZE + 1] * (B - 1) + [L]
+                        self.resolve_batch(self.dispatch_batch(
+                            seqs, sizes, k=10, positions=pos,
+                            cap=CAP_MIN, adapt_hint=False))
+                    except Exception:
+                        pass
+        # phase-2 shapes, compiled directly with zero inputs (a dispatch
+        # can't steer synthetic text onto arbitrary caps or hot sets)
+        B_max = max(batch_sizes)
+        k_full = _next_pow2(max(10, TOPK_MIN))
+        hots = (False, True) if self.hot_starts is not None else (False,)
+        for pos in positions:
+            for hot in hots:
+                for capv in caps:
+                    for L in lengths:
+                        for G in self._quantized_groups(capv, B_max, hot, L):
+                            try:
+                                self._warm_p2(G, L, capv, k_full, pos, hot)
+                            except Exception:
+                                pass
 
-            G = self.GROUP_B
-            k_full = _next_pow2(max(10, TOPK_MIN))
-            for L in lengths:
-                for pos in positions:
-                    for capv in caps:
-                        try:
-                            z = jnp.zeros((G, L), jnp.int32)
-                            self._p2h(
-                                self.postings, self.M, self.MT,
-                                self.hot_starts,
-                                jnp.full((G, L), self.miss_start, jnp.int32),
-                                z, z + 1, z, z, cap=capv, k=k_full,
-                                positions=pos and _positions_on_device(
-                                    capv, k_full, L, G))
-                        except Exception:
-                            pass
+    def _warm_p2(self, G: int, L: int, cap: int, k_full: int,
+                 pos: bool, hot: bool) -> None:
+        """Compile one phase-2 shape (zero-input dispatch, result discarded)."""
+        import jax.numpy as jnp
+
+        z = jnp.zeros((G, L), jnp.int32)
+        offs = jnp.full((G, L), self.miss_start, jnp.int32)
+        if hot:
+            self._p2h(self.postings, self.M, self.MT, self.hot_starts,
+                      offs, z, z + 1, z, z, cap=cap, k=k_full,
+                      positions=pos and _positions_on_device(
+                          cap, k_full, L, G))
+        else:
+            k2 = min(k_full, cap)
+            self._p2(self.postings, offs, z, z + 1, z, cap=cap, k=k2,
+                     positions=pos and _positions_on_device(cap, k2, L, G))
 
 # ---------------------------------------------------------------------------
 # jitted implementation

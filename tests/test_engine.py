@@ -372,6 +372,35 @@ def test_warmup_precompiles_hot_shapes(heavy_db):
     assert got == want[: len(got)]
 
 
+def test_warmup_covers_skewed_serving_grid(skew_db):
+    """VERDICT r2 ask 7: after warmup, a skewed workload whose length and
+    cap buckets sit inside the warmed grid triggers NO new _p2/_p2h
+    compiles (the warmup iterates exactly the scheduler's quantized
+    (G, L, cap, positions) shapes)."""
+    art, _, seqs, domains = skew_db
+    engine = SearchEngine(art)
+    assert engine.hot_starts is not None
+
+    rng = np.random.default_rng(13)
+    queries = []
+    for i in range(24):
+        q = seqs[i % len(seqs)][: int(rng.integers(20, 70))]
+        if len(q) >= 7:
+            queries.append(q)
+    queries += [domains[0][:38], domains[1][:30] + domains[2][:30]]
+
+    engine.warmup(batch_sizes=(16, 32), lengths=(16, 32, 64),
+                  positions=(False, True))
+    c2, c2h = engine._p2._cache_size(), engine._p2h._cache_size()
+    for pos in (False, True):
+        for i in range(0, len(queries), 16):
+            chunk = queries[i : i + 16]
+            engine.count_batch(chunk, [len(q) - 6 for q in chunk], k=10,
+                               positions=pos)
+    assert engine._p2._cache_size() == c2
+    assert engine._p2h._cache_size() == c2h
+
+
 @pytest.fixture(scope="module")
 def skew_db(tmp_path_factory):
     """Domain-skewed DB: a few 'conserved domains' shared by many proteins,

@@ -71,6 +71,70 @@ def test_select_hot_sets_threshold_and_budget():
         np.arange(5, dtype=np.uint64), num_proteins=10) is None
 
 
+def test_select_hot_sets_drops_tie_tier():
+    """Regression (ADVICE r2): sets tied at the h_max cut must either all be
+    hot or all stay cold -- argpartition used to keep an arbitrary subset,
+    and phase 1 then zeroed the excluded ties out of the cold expansion
+    without crediting them in M (silently wrong counts)."""
+    # 12 sets of identical length with h_max=4: no pure length threshold can
+    # select only 4, so the hot path must disable itself entirely
+    lens = np.full(12, 30)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.uint64)
+    assert hotset.select_hot_sets(offsets, num_proteins=64, h_max=4) is None
+    # a strictly-longer tier above the ties survives at the raised threshold
+    lens2 = np.concatenate([np.full(3, 50), np.full(12, 30)])
+    off2 = np.concatenate([[0], np.cumsum(lens2)]).astype(np.uint64)
+    hot_starts, thresh, _ = hotset.select_hot_sets(off2, num_proteins=64,
+                                                   h_max=4)
+    assert hot_starts.shape == (3,) and thresh == 50
+
+
+def test_hot_tie_tier_end_to_end(tmp_path, monkeypatch):
+    """End-to-end ADVICE repro: a DB whose postings lengths tie exactly at
+    the h_max cut returns oracle-exact counts (the tie tier is counted on
+    the cold path; only the strictly-longer tier goes dense)."""
+    rng = np.random.default_rng(3)
+    long_doms = ["".join(rng.choice(AA, size=20)) for _ in range(3)]
+    tie_doms = ["".join(rng.choice(AA, size=20)) for _ in range(12)]
+    seqs = []
+    for d in long_doms:
+        for _ in range(50):
+            seqs.append("".join(rng.choice(AA, size=8)) + d
+                        + "".join(rng.choice(AA, size=8)))
+    for d in tie_doms:
+        for _ in range(30):
+            seqs.append("".join(rng.choice(AA, size=8)) + d
+                        + "".join(rng.choice(AA, size=8)))
+    fasta = str(tmp_path / "in.fasta")
+    with open(fasta, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">T{i:05d} tie\n{s}\n")
+    dbdir = str(tmp_path / "db")
+    build_db(dbdir, fasta, "fasta")
+    art = load_db(dbdir)
+    oracle = OracleDB([(int(art.protein_ids[i]), art.protein(i))
+                       for i in range(art.num_proteins)])
+
+    orig = hotset.select_hot_sets
+    monkeypatch.setattr(
+        hotset, "select_hot_sets",
+        lambda so, num_p, **kw: orig(so, num_p, h_max=4))
+    engine = SearchEngine(art)
+    assert engine.hot_starts is not None  # the long tier survived
+
+    queries = ([t + l for t, l in zip(tie_doms[:3], long_doms)]
+               + [tie_doms[5] * 2, long_doms[0] * 2,
+                  tie_doms[8] + tie_doms[9]])
+    sizes = [len(q) - 6 for q in queries]
+    ext = np.asarray(art.protein_ids)
+    res = engine.count_batch(queries, sizes, k=10)
+    for q, size, qc in zip(queries, sizes, res):
+        got = [(int(ext[int(r)]), int(c))
+               for r, c in zip(qc.hit_rows, qc.counts)]
+        want, _ = oracle.kmer_search(q, size)
+        assert got == want[: len(got)], q[:24]
+
+
 @pytest.fixture(scope="module")
 def skewed_db(tmp_path_factory):
     """Small power-law DB: popular domains shared by many proteins (hot
