@@ -92,16 +92,27 @@ def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,
     return hot_starts[order].astype(np.int32), thresh, P_pad
 
 
-def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
-                     hot_starts: np.ndarray, P_pad: int):
-    """M[H, P_pad]: M[h, p] = 1 iff protein row p is in hot set h.  Stored
-    f32 when it fits the budget (the W @ M matmul then streams it without a
-    per-group bf16->f32 conversion pass), bf16 otherwise."""
-    M = np.zeros((hot_starts.shape[0], P_pad), dtype=np.float32)
+def build_membership_np(postings: np.ndarray, set_offsets: np.ndarray,
+                        hot_starts: np.ndarray, P_pad: int,
+                        out: np.ndarray = None) -> np.ndarray:
+    """M[H, P_pad] float32: M[h, p] = 1 iff protein row p is in hot set h.
+    `out` (optional) writes into a preallocated row block (the sharded
+    engine stacks per-shard matrices)."""
+    M = out if out is not None else np.zeros(
+        (hot_starts.shape[0], P_pad), dtype=np.float32)
     ends = set_offsets.astype(np.int64)
     for h, s in enumerate(hot_starts.astype(np.int64)):
         e = ends[np.searchsorted(ends, s, side="right")]
         M[h, postings[s:e]] = 1.0
+    return M
+
+
+def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
+                     hot_starts: np.ndarray, P_pad: int):
+    """build_membership_np as a device array: f32 when it fits the budget
+    (the W @ M matmul then streams it without a per-group bf16->f32
+    conversion pass), bf16 otherwise."""
+    M = build_membership_np(postings, set_offsets, hot_starts, P_pad)
     import jax.numpy as jnp  # local: keep module importable host-only
 
     if M.size * 4 <= M_BYTES_BUDGET:

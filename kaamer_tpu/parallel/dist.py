@@ -1,4 +1,4 @@
-"""Multi-host distributed runtime glue.
+"""Multi-host distributed runtime glue + the grouped sharded search engine.
 
 The reference is single-host (goroutines over one Badger instance); scale-out
 here follows the standard JAX multi-controller pattern:
@@ -9,23 +9,38 @@ here follows the standard JAX multi-controller pattern:
 - `global_mesh(dp, shard)` builds a Mesh over ALL devices of the job, laid
   out so the "shard" axis stays within a host's chips wherever possible
   (index-shard collectives ride ICI; the dp axis crosses hosts over DCN);
-- the sharded search step (mesh.make_sharded_search) is mesh-agnostic: the
-  same all_to_all hit merge runs within one host or across a pod slice.
+- the sharded search kernels (parallel/mesh.py) are mesh-agnostic: the same
+  all_to_all hit merge runs within one host or across a pod slice.
 
 Index distribution across hosts: each host memory-maps the same artifact (or
 its own replica) and feeds its devices their shard rows; shard ownership is a
 pure function of the k-mer hash (mesh.shard_owner), so no coordination is
 needed at build time.
+
+The engine mirrors the single-chip two-phase design (search/engine.py):
+phase 1 (make_sharded_totals) probes + run-dedups + hot-splits on every
+shard and reports exact per-query MAX shard-local cold totals; the host
+then schedules phase 2 in totals-sorted coalesced GROUPS, each re-uploaded
+(wire rows are host numpy, so group row selection is free and works across
+dp blocks) and dispatched through make_sharded_group at the cap bucket it
+needs.  Hot queries route to the dense-matmul kernel with PER-SHARD
+membership matrices (ops/hotset.py), merged exactly via psum_scatter.  The
+price of the re-dispatch design is that groups re-probe their k-mers (two
+row-gathers per k-mer, ~10-20% of device time on skewed data) -- paid so one
+postings-heavy query never drags a whole batch to its expansion capacity,
+the same trade the single-chip scheduler makes.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..search.engine import PositionBitmapServing
+from ..search.engine import (HOT_DENSE_BYTES, MAX_EXPANSION_ELEMS, TOPK_MIN,
+                             PositionBitmapServing, QueryCounts, _cap_bucket,
+                             _cap_floor, _next_pow2, _positions_on_device)
 
 KMER_SIZE = 7
 
@@ -74,20 +89,24 @@ def global_mesh(n_shards: Optional[int] = None):
 
 class ShardedSearchEngine(PositionBitmapServing):
     """Counting engine over a sharded index on a (dp, shard) mesh.  Exposes
-    the same dispatch/resolve contract as search.engine.SearchEngine, so the
-    search pipelines (and their batch pipelining) run unmodified on top of
-    it: queries ship packed 7 residues/uint32 (native kt_pack_queries when
-    available), device->host copies start at dispatch time, the expansion
-    capacity adapts to the observed shard-local postings volume, position
-    bitmaps are computed on device from the all-to-all-merged expansion, and
-    overflowing queries are re-run selectively in bounded sub-batches --
-    feature parity with the single-chip engine, bit-identical results
-    (tests/test_dist.py)."""
+    the same dispatch/schedule/collect contract as the single-chip
+    SearchEngine, so the search pipelines (and their batch pipelining) run
+    unmodified on top of it: queries ship packed 7 residues/uint32, device->
+    host copies start at dispatch time, phase 2 runs in totals-sorted
+    coalesced groups at adaptive cap buckets, hot queries take the dense
+    matmul path, position bitmaps are computed on device from the
+    run-deduplicated merged expansion, and postings-heavy outliers fall back
+    to the exact host bincount -- feature parity with the single-chip
+    engine, bit-identical results (tests/test_dist.py)."""
 
-    CAP_MIN = 1 << 8
-    CAP_MAX = 1 << 18  # per-shard; the merge concatenates n_shards * cap
+    CAP_MIN = 1 << 6   # per shard; the merge concatenates n_shards * cap
+    CAP_MAX = 1 << 18  # per shard
+    RERUN_B = 16
+    GROUP_B = 256
+    WARM_CAPS = (CAP_MIN, 96, 128, 192, 256, 320, 384, 512)
 
-    def __init__(self, art, mesh=None, cap: int = 0, k: int = 64):
+    def __init__(self, art, mesh=None, cap: int = 0, k: int = 64,
+                 hot: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -98,50 +117,106 @@ class ShardedSearchEngine(PositionBitmapServing):
         self.mesh = mesh or global_mesh()
         self.n_shards = self.mesh.shape["shard"]
         self.dp = self.mesh.shape["dp"]
-        self._cap_hint = cap or self.CAP_MIN
+        self.mult = self.dp * self.n_shards
+        self._cap_hint = cap or self.CAP_MIN  # diagnostic only
         self.k = k
 
         self.sharded = shard_index(art, self.n_shards)
         self.tables = jnp.asarray(self.sharded.tables)
         self.postings = jnp.asarray(self.sharded.postings)
-        self._fn_cache = {}
+        self.miss_start = int(self.sharded.postings.shape[1])
+        self._totals_cache = {}
+        self._group_cache = {}
 
         # host-side structures for position lookups (global index view)
         so = np.asarray(art.set_offsets)
         self.set_starts_np = np.concatenate([so, so[-1:]]).astype(np.int64)
         self.postings_np = np.asarray(art.postings)
 
-    def _fn(self, cap: int, k: int, width: int, positions: bool):
-        from .mesh import make_sharded_search
+        self._init_hot(hot)
 
-        key = (cap, k, width, positions)
-        if key not in self._fn_cache:
-            self._fn_cache[key] = make_sharded_search(
-                self.mesh, self.sharded.hash_log2,
-                cap=cap, k=k, width=width, positions=positions,
-            )
-        return self._fn_cache[key]
+    # ------------------------------------------------------------------
+    # Hot-set dense path (per-shard ops/hotset.py structures)
+    # ------------------------------------------------------------------
+
+    def _init_hot(self, enabled: bool) -> None:
+        import jax.numpy as jnp
+
+        from ..ops import hotset
+
+        n = self.n_shards
+        # shards with no hot sets keep threshold 2^30 (nothing qualifies)
+        # and all-zero membership rows
+        self.hot_thresh_np = np.full(n, 1 << 30, dtype=np.int32)
+        self.hot_starts = None
+        self.M = self.MT = None
+        P_pad = -(-max(self.art.num_proteins, 1) // 128) * 128
+        sels = [
+            hotset.select_hot_sets(self.sharded.set_offsets[s],
+                                   self.art.num_proteins)
+            if enabled else None
+            for s in range(n)
+        ]
+        if not any(s is not None for s in sels):
+            self.hot_thresh = jnp.asarray(self.hot_thresh_np)
+            return
+        H_max = max(s[0].shape[0] for s in sels if s is not None)
+        M = np.zeros((n, H_max, P_pad), dtype=np.float32)
+        starts = np.full((n, H_max), -1, dtype=np.int32)
+        for s, sel in enumerate(sels):
+            if sel is None:
+                continue
+            hs, thresh, _ = sel
+            self.hot_thresh_np[s] = thresh
+            starts[s, : hs.shape[0]] = hs
+            post_local = self.sharded.postings[
+                s, : self.sharded.postings_sizes[s]]
+            hotset.build_membership_np(post_local,
+                                       self.sharded.set_offsets[s], hs,
+                                       P_pad, out=M[s, : hs.shape[0]])
+        # per-DEVICE M is [H_max, P_pad]; f32 when it fits the budget
+        dtype = (jnp.float32 if H_max * P_pad * 4 <= hotset.M_BYTES_BUDGET
+                 else jnp.bfloat16)
+        self.M = jnp.asarray(M, dtype=dtype)
+        self.MT = jnp.asarray(M.transpose(0, 2, 1), dtype=jnp.bfloat16)
+        self.hot_starts = jnp.asarray(starts)
+        self.hot_thresh = jnp.asarray(self.hot_thresh_np)
+
+    # ------------------------------------------------------------------
+    # Kernel caches
+    # ------------------------------------------------------------------
+
+    def _totals_fn(self, width: int):
+        from .mesh import make_sharded_totals
+
+        key = width
+        if key not in self._totals_cache:
+            self._totals_cache[key] = make_sharded_totals(
+                self.mesh, self.sharded.hash_log2, self.miss_start,
+                width=width)
+        return self._totals_cache[key]
+
+    def _group_fn(self, cap: int, k: int, width: int, positions: bool,
+                  hot: bool):
+        from .mesh import make_sharded_group
+
+        key = (cap, k, width, positions, hot)
+        if key not in self._group_cache:
+            self._group_cache[key] = make_sharded_group(
+                self.mesh, self.sharded.hash_log2, cap=cap, k=k,
+                width=width, positions=positions, hot=hot)
+        return self._group_cache[key]
+
+    # ------------------------------------------------------------------
+    # dispatch / schedule / collect
+    # ------------------------------------------------------------------
 
     def count_batch(self, seqs, sizes, k: int, positions: bool = False):
         return self.resolve_batch(self.dispatch_batch(seqs, sizes, k,
                                                       positions=positions))
 
-    def _run(self, wire_np, n_np, cap, k_eff, width, positions):
-        import jax.numpy as jnp
-
-        outs = self._fn(cap, k_eff, width, positions)(
-            self.tables, self.postings,
-            jnp.asarray(wire_np), jnp.asarray(n_np),
-        )
-        for arr in outs:
-            arr.copy_to_host_async()
-        return outs
-
-    def _pos_on_device(self, cap: int, k_eff: int, L: int) -> bool:
-        # the merged expansion each device finalizes is n_shards * cap wide
-        from ..search.engine import _positions_on_device
-
-        return _positions_on_device(cap * self.n_shards, k_eff, L, 2048)
+    def resolve_batch(self, handle):
+        return self.collect_batch(self.schedule_batch(handle))
 
     def _pack(self, padded, width):
         from .. import codec, native
@@ -153,14 +228,16 @@ class ShardedSearchEngine(PositionBitmapServing):
 
     def dispatch_batch(self, seqs, sizes, k, positions: bool = False,
                        cap: int = 0, adapt_hint: bool = True):
-        from ..search.engine import TOPK_MIN, _next_pow2
+        """Phase 1: pack the batch, probe + dedup + hot-split on every
+        shard, and start the async copy of the exact totals.  adapt_hint is
+        kept for interface stability (groups always use this batch's own
+        totals)."""
+        import jax.numpy as jnp
 
         if not seqs:
             return None
-        mult = self.dp * self.n_shards
         B0 = len(seqs)
-        # divisible by dp*shard AND shape-bucketed (pow2 multiples of mult)
-        B = mult * _next_pow2(-(-B0 // mult))
+        B = self.mult * _next_pow2(-(-max(B0, 16) // self.mult))
         padded = list(seqs) + [""] * (B - B0)
         L = _next_pow2(max(max(sizes), 8))
         width = L + KMER_SIZE - 1
@@ -168,133 +245,245 @@ class ShardedSearchEngine(PositionBitmapServing):
         n_np = np.zeros(B, dtype=np.int32)
         n_np[:B0] = sizes
 
-        from ..search.engine import _cap_clamp
+        outs = self._totals_fn(width)(
+            self.tables, self.hot_thresh, jnp.asarray(wire),
+            jnp.asarray(n_np))
+        for arr in outs:
+            arr.copy_to_host_async()
+        return (outs, wire, n_np, list(seqs), list(sizes), k, L, positions,
+                cap)
 
-        # whole-batch expansion budget per device is B_local * cap; clamp
-        # like the single-chip engine (outliers re-run in bounded chunks)
-        cap = _cap_clamp(cap or max(self._cap_hint, self.CAP_MIN),
-                         B // (self.dp * self.n_shards) * self.n_shards)
-        k_eff = min(_next_pow2(max(k, TOPK_MIN)), cap * self.n_shards)
-        pos_dev = positions and self._pos_on_device(cap, k_eff, L)
-        outs = self._run(wire, n_np, cap, k_eff, width, pos_dev)
-        return (outs, wire, n_np, list(seqs), list(sizes), k, k_eff, cap,
-                width, positions, adapt_hint)
+    def _hot_g_max(self, L: int) -> int:
+        """Largest hot-group width within the per-DEVICE dense budget (each
+        shard device holds [G/dp, P_pad] f32 partial counts and a
+        [G/dp, L, H] indicator)."""
+        if self.hot_starts is None:
+            return 1 << 30
+        H = int(self.hot_starts.shape[1])
+        P_pad = int(self.M.shape[2])
+        per_g = 4 * max(P_pad, L * H)
+        g = self.dp * (HOT_DENSE_BYTES // per_g)
+        return max(self._g_min(), 1 << max(0, int(g).bit_length() - 1))
 
-    def resolve_batch(self, handle):
-        from ..search.engine import QueryCounts, _cap_bucket
+    def _g_min(self) -> int:
+        return max(16, self.mult)
 
+    def _quantized_groups(self, cap: int, B: int, hot: bool,
+                          L: int) -> List[int]:
+        """Group widths schedule_batch can emit for (cap, hot, L) -- the
+        {16, 256, 2048} quantization (mult-aligned), budget-clamped; warmup
+        iterates exactly this set."""
+        g_budget = max(self._g_min(),
+                       1 << ((self.dp * MAX_EXPANSION_ELEMS // cap)
+                             .bit_length() - 1))
+        if hot:
+            g_budget = min(g_budget, self._hot_g_max(L))
+        gm = self._g_min()
+        out = [gm]
+        for g in (256, 2048):
+            if g > gm and g % self.mult == 0 and g <= min(g_budget, B):
+                out.append(g)
+        return out
+
+    def schedule_batch(self, handle):
+        """Group queries by their exact phase-1 totals and dispatch every
+        phase-2 group asynchronously (same scheduling policy as the
+        single-chip engine; group wire rows are sliced host-side, so groups
+        freely mix rows across dp blocks)."""
         if handle is None:
-            return []
-        (outs, wire, n_np, seqs, sizes, k, k_eff, cap, width, positions,
-         adapt_hint) = handle
-        counts, hit_rows, totals = self._jax.device_get(tuple(outs[:3]))
-        bitmaps_h = None
-        if len(outs) > 3:
-            bitmaps_h = np.unpackbits(self._jax.device_get(outs[3]),
-                                      axis=-1, bitorder="little")
-        max_total = int(totals.max())
-        if adapt_hint:
-            self._cap_hint = min(_cap_bucket(max_total + (max_total >> 4)),
-                                 self.CAP_MAX)
+            return None
+        (outs, wire, n_np, seqs, sizes, k, L, positions, cap_pin) = handle
+        totals_h, _, hot_h = self._jax.device_get(tuple(outs))
+        B = wire.shape[0]
+        B_real = len(sizes)
+        max_total = int(totals_h[:B_real].max()) if B_real else 0
+        if not cap_pin:
+            self._cap_hint = _cap_bucket(max_total)  # diagnostic only
 
         slices = _LazyBatchSlices(self, seqs, sizes)
-        over_idx = [i for i in range(len(sizes)) if int(totals[i]) > cap]
-        rerun = (
-            self._rerun_overflow(wire, sizes, over_idx, totals, slices, k,
-                                 width, positions)
-            if over_idx
-            else {}
-        )
-        out = []
-        for i, size in enumerate(sizes):
-            if i in rerun:
-                qc = rerun[i]
-            else:
-                c = counts[i]
-                nz = c > 0
-                qc = QueryCounts(hit_rows=hit_rows[i][nz], counts=c[nz],
-                                 _engine=self, _batch=slices, _row=i,
-                                 _n_kmers=size)
-                if bitmaps_h is not None:
-                    qc._bitmaps = bitmaps_h[i]
-            out.append(qc)
-        return out
-
-    def _rerun_overflow(self, wire, sizes, over_idx, totals, slices, k,
-                        width, positions):
-        """Re-run overflowing queries in bounded sub-batches at the cap
-        bucket they need (mirrors SearchEngine._rerun_overflow; peak device
-        memory stays B_sub * n_shards * CAP_MAX elements)."""
-        from ..search.engine import (TOPK_MIN, QueryCounts, _cap_bucket,
-                                     _next_pow2)
-
-        out = {}
-        mult = self.dp * self.n_shards
-        B_sub = mult * max(1, -(-16 // mult))
-        L = width - (KMER_SIZE - 1)
         k_full = _next_pow2(max(k, TOPK_MIN))
-        dev_rows = []
-        for i in over_idx:
-            if int(totals[i]) > self.CAP_MAX:
-                # exact host fallback for postings-heavy outliers, matching
-                # the single-chip engine (sharded stays bit-identical to it)
-                out[i] = self._count_host_row(slices, i, sizes[i], k_full)
+        results: Dict[int, QueryCounts] = {}
+
+        G0 = min(self.GROUP_B, B)
+        limit_g = min(_cap_floor(self.dp * MAX_EXPANSION_ELEMS // G0),
+                      self.CAP_MAX)
+        order = np.lexsort((-totals_h[:B_real],
+                            hot_h[:B_real] == 0)).tolist()
+        totals_l = totals_h.tolist()
+        hot_l = (hot_h > 0).tolist()
+        normal: List[int] = []
+        chunks: List[tuple] = []  # (rows, G_c, cap_c, hot)
+        heavy: List[int] = []
+        for i in order:
+            t = totals_l[i]
+            if t > self.CAP_MAX:
+                results[i] = self._count_host_row(slices, i, sizes[i],
+                                                  k_full)
+            elif t > limit_g and not cap_pin:
+                heavy.append(i)
             else:
-                dev_rows.append(i)
-        dev_rows.sort(key=lambda i: int(totals[i]))
-        for c0 in range(0, len(dev_rows), B_sub):
-            chunk = dev_rows[c0 : c0 + B_sub]
-            # pow2 caps on re-runs: fewer compiled shapes (see the
-            # single-chip engine's rationale)
-            cap2 = min(_next_pow2(max(int(totals[i]) for i in chunk)),
-                       self.CAP_MAX)
-            k2 = min(k_full, cap2 * self.n_shards)
-            wire2 = np.zeros((B_sub,) + wire.shape[1:], wire.dtype)
-            n2 = np.zeros(B_sub, dtype=np.int32)
-            for j, i in enumerate(chunk):
-                wire2[j] = wire[i]
-                n2[j] = sizes[i]
-            pos_dev = positions and self._pos_on_device(cap2, k2, L)
-            outs = self._run(wire2, n2, cap2, k2, width, pos_dev)
-            ch, hh = self._jax.device_get((outs[0], outs[1]))
+                normal.append(i)
+
+        def any_hot(rows):
+            return self.hot_starts is not None and any(
+                hot_l[i] for i in rows)
+
+        gm = self._g_min()
+        for c0 in range(0, len(heavy), gm):
+            rows = heavy[c0 : c0 + gm]
+            cap_c = min(_next_pow2(max(totals_l[i] for i in rows)),
+                        self.CAP_MAX)
+            chunks.append((rows, gm, cap_c, any_hot(rows)))
+        i0 = 0
+        while i0 < len(normal):
+            q0 = normal[i0]
+            hot0 = self.hot_starts is not None and hot_l[q0]
+            cap_c = cap_pin or max(min(_cap_bucket(totals_l[q0]), limit_g),
+                                   self.CAP_MIN)
+            i1 = i0 + 1
+            while i1 < len(normal):
+                q = normal[i1]
+                if (self.hot_starts is not None
+                        and hot_l[q] != hot0) and not cap_pin:
+                    break
+                if not cap_pin:
+                    cq = max(min(_cap_bucket(totals_l[q]), limit_g),
+                             self.CAP_MIN)
+                    if cq != cap_c and totals_l[q] * 2 < cap_c:
+                        break
+                i1 += 1
+            seg = normal[i0:i1]
+            i0 = i1
+            groups = self._quantized_groups(cap_c, B, hot0, L)
+            c0 = 0
+            while c0 < len(seg):
+                rem = len(seg) - c0
+                G_c = groups[0]
+                for g in reversed(groups):
+                    if rem > g // 2:
+                        G_c = g
+                        break
+                take = min(rem, G_c)
+                chunks.append((seg[c0 : c0 + take], G_c, cap_c, hot0))
+                c0 += take
+
+        identity = (len(chunks) == 1 and not results
+                    and len(chunks[0][0]) == B_real and chunks[0][1] == B)
+
+        pending = []
+        for rows, G_c, cap_c, hot in chunks:
+            if identity:
+                rows = list(range(B))
+            pending.append(
+                (rows, self._dispatch_group(wire, n_np, rows, G_c, cap_c,
+                                            k_full, L, positions, hot,
+                                            identity=identity))
+            )
+        return (pending, results, sizes, B_real, slices)
+
+    def collect_batch(self, sched):
+        if sched is None:
+            return []
+        pending, results, sizes, B_real, slices = sched
+        for rows, (outs2, pos_dev) in pending:
+            ch, hh = self._jax.device_get((outs2[0], outs2[1]))
             bm = None
-            if len(outs) > 3:
-                bm = np.unpackbits(self._jax.device_get(outs[3]), axis=-1,
+            if pos_dev:
+                bm = np.unpackbits(self._jax.device_get(outs2[2]), axis=-1,
                                    bitorder="little")
-            for j, i in enumerate(chunk):
-                c = ch[j]
-                nz = c > 0
-                qc = QueryCounts(hit_rows=hh[j][nz], counts=c[nz],
-                                 _engine=self, _batch=slices, _row=i,
-                                 _n_kmers=sizes[i])
+            ms = (ch > 0).sum(axis=1)
+            for j, i in enumerate(rows):
+                if i >= B_real:
+                    continue
+                m = ms[j]
+                qc = QueryCounts(
+                    hit_rows=hh[j][:m], counts=ch[j][:m], _engine=self,
+                    _batch=slices, _row=i, _n_kmers=sizes[i],
+                )
                 if bm is not None:
                     qc._bitmaps = bm[j]
-                out[i] = qc
-        return out
+                results[i] = qc
+        return [results[i] for i in range(B_real)]
+
+    def _pos_on_device(self, cap: int, k_eff: int, L: int, G: int) -> bool:
+        # per-shard bitmap matmul runs over [G/dp, cap, k]; the merged
+        # expansion each finalizing device touches is n_shards * cap wide
+        return _positions_on_device(cap * self.n_shards, k_eff, L,
+                                    max(G // self.dp, 1))
+
+    def _dispatch_group(self, wire, n_np, rows, G: int, cap: int,
+                        k_full: int, L: int, positions: bool, hot: bool,
+                        identity: bool = False):
+        import jax.numpy as jnp
+
+        if identity:
+            wire2, n2 = wire, n_np
+        else:
+            wire2 = np.zeros((G,) + wire.shape[1:], wire.dtype)
+            n2 = np.zeros(G, dtype=np.int32)
+            wire2[: len(rows)] = wire[rows]
+            n2[: len(rows)] = n_np[rows]
+        width = L + KMER_SIZE - 1  # residue width (wire.shape[1] is packed)
+        k2 = k_full if hot else min(k_full, cap * self.n_shards)
+        pos_dev = positions and self._pos_on_device(
+            cap, k_full if hot else k2, L, G)
+        fn = self._group_fn(cap, k2, width, pos_dev, hot)
+        if hot:
+            outs = fn(self.tables, self.postings, self.hot_thresh, self.M,
+                      self.MT, self.hot_starts, jnp.asarray(wire2),
+                      jnp.asarray(n2))
+        else:
+            outs = fn(self.tables, self.postings, jnp.asarray(wire2),
+                      jnp.asarray(n2))
+        for arr in outs:
+            arr.copy_to_host_async()
+        return outs, pos_dev
+
+    # ------------------------------------------------------------------
+    # warmup / host fallback
+    # ------------------------------------------------------------------
 
     def warmup(self, batch_sizes=(16, 2048), lengths=(64, 128, 256, 512),
-               positions=(False, True), caps=(CAP_MIN,)) -> None:
-        """Pre-compile the common shape buckets without touching the
-        adaptive cap hint (same contract as SearchEngine.warmup)."""
-        for B in batch_sizes:
-            for L in lengths:
-                for pos in positions:
-                    for capv in caps:
-                        try:
-                            seq = "A" * min(L + KMER_SIZE - 1, 64)
-                            seqs_w = [seq] * B
-                            sizes_w = ([len(seq) - KMER_SIZE + 1] * (B - 1)
-                                       + [L])
-                            self.resolve_batch(self.dispatch_batch(
-                                seqs_w, sizes_w, k=10, positions=pos,
-                                cap=capv, adapt_hint=False))
-                        except Exception:
-                            pass
+               positions=(False, True), caps=None) -> None:
+        """Pre-compile the serving shape grid (same contract as
+        SearchEngine.warmup: never touches the adaptive cap hint, best
+        effort, ordered most-likely-first)."""
+        caps = tuple(caps) if caps else self.WARM_CAPS
+        for pos in positions:
+            for B in batch_sizes:
+                for L in lengths:
+                    try:
+                        seq = "A" * min(L + KMER_SIZE - 1, 64)
+                        seqs = [seq] * B
+                        sizes = [len(seq) - KMER_SIZE + 1] * (B - 1) + [L]
+                        self.resolve_batch(self.dispatch_batch(
+                            seqs, sizes, k=10, positions=pos,
+                            cap=self.CAP_MIN, adapt_hint=False))
+                    except Exception:
+                        pass
+        B_max = max(batch_sizes)
+        k_full = _next_pow2(max(10, TOPK_MIN))
+        hots = (False, True) if self.hot_starts is not None else (False,)
+        wire0 = None
+        for pos in positions:
+            for hot in hots:
+                for capv in caps:
+                    for L in lengths:
+                        for G in self._quantized_groups(capv, B_max, hot, L):
+                            try:
+                                width = L + KMER_SIZE - 1
+                                wire0 = self._pack([""] * G, width)
+                                self._dispatch_group(
+                                    wire0, np.zeros(G, np.int32),
+                                    list(range(G)), G, capv, k_full, L,
+                                    pos, hot, identity=True)
+                            except Exception:
+                                pass
 
     def _count_host_row(self, slices: "_LazyBatchSlices", i: int,
                         n_kmers: int, k: int):
-        from ..search.engine import QueryCounts
-
+        """Unbounded host fallback (np.bincount) for postings-heavy queries,
+        over the GLOBAL artifact (bit-identical to the single-chip one)."""
         offs = slices.host()[i, :n_kmers].astype(np.int64)
         starts = self.set_starts_np
         ids = np.searchsorted(starts, offs, side="left")
@@ -316,6 +505,7 @@ class ShardedSearchEngine(PositionBitmapServing):
         qc._offs = offs
         qc._lens = lens
         return qc
+
 
 class _LazyBatchSlices:
     """Per-batch lazy global k-mer -> slice-start resolution for position

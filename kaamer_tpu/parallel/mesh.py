@@ -4,7 +4,8 @@ The reference is a single-host Go program whose only parallelism is goroutine
 pools over one Badger instance (SURVEY §2.3).  The TPU-native scale-out:
 
 - Mesh axes (dp, shard): "dp" shards query batches (data parallel); "shard"
-  shards the INDEX by k-mer ownership (hash top bits), the hash-table
+  shards the INDEX by postings-SET ownership (hash top bits of the set id;
+  see shard_owner for why set -- not k-mer -- identity), the hash-table
   analogue of tensor parallelism.
 - Per device: probe its index shard with the full dp-local query batch and
   expand its postings contribution [B, cap].
@@ -14,6 +15,15 @@ pools over one Badger instance (SURVEY §2.3).  The TPU-native scale-out:
   sort + RLE + top_k locally.
 - Counts merge exactly: every (kmer -> protein) posting lives on exactly one
   shard, so concatenation before RLE reproduces single-chip counts.
+- The single-chip engine's skew machinery runs shard-local: query-time run
+  dedup (ops/count.py:dedup_runs) before expansion, and the hot-set dense
+  path (ops/hotset.py) with PER-SHARD membership matrices -- each posting
+  lives on one shard, so summing the shards' partial dense counts
+  (psum_scatter) merges exactly.  Position bitmaps are computed from the
+  deduplicated expansion in a second in-kernel round: the merged top hits
+  are all_gather'd back to every shard, each shard builds and run-expands
+  its own bitmap contribution, and the packed bitmaps OR-merge through one
+  more all_to_all.
 
 Works identically on real multi-chip meshes and on virtual CPU device meshes
 (XLA_FLAGS=--xla_force_host_platform_device_count=N).
@@ -22,8 +32,7 @@ Works identically on real multi-chip meshes and on virtual CPU device meshes
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Tuple
+from typing import List
 
 import numpy as np
 
@@ -44,19 +53,35 @@ class ShardedIndexArrays:
     tables:      uint32[n_shards, rows, 6]  (hashtable.py cuckoo layout,
                  values = shard-LOCAL postings (start, len) inline)
     postings:    uint32[n_shards, P_max]
+    set_offsets: per-shard LOCAL postings slice boundaries (unpadded),
+                 uint64[S_s + 1] each -- drives shard-local hot-set
+                 selection (ops/hotset.py) and diagnostics
+    postings_sizes: true (unpadded) postings length per shard
     """
 
     tables: np.ndarray
     postings: np.ndarray
     hash_log2: int
     n_shards: int
+    set_offsets: List[np.ndarray] = None
+    postings_sizes: List[int] = None
 
 
-def shard_owner(kmers: np.ndarray, n_shards: int) -> np.ndarray:
-    """Owner shard of each k-mer: top bits of the multiplicative hash (the
+def shard_owner(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Owner shard of a uint32 key: top bits of the multiplicative hash (the
     SAME hash family as slot placement uses lower-order of; ownership uses
-    the highest bits so in-shard placement stays uniform)."""
-    h = kmers.astype(np.uint32) * HASH_MULT
+    the highest bits so in-shard placement stays uniform).
+
+    The index shards by SET identity (every k-mer of a postings set lands on
+    the set's owner shard, shard_index_arrays below), NOT by k-mer: adjacent
+    query positions that resolve to one set -- the run structure the
+    query-time dedup collapses (ops/count.py:dedup_runs) -- then stay
+    consecutive on the owner shard, so the per-query sharded expansion
+    volume EQUALS the single-chip deduplicated volume.  K-mer-hash ownership
+    would scatter a run's positions across shards (adjacent k-mers hash
+    independently), fragmenting every run to ~length 1 and re-paying the
+    multiplicity the dedup exists to remove."""
+    h = keys.astype(np.uint32) * HASH_MULT
     return ((h.astype(np.uint64) * np.uint64(n_shards)) >> np.uint64(32)).astype(np.int64)
 
 
@@ -84,12 +109,15 @@ def shard_index_arrays(
 
     global_starts = set_offsets
 
-    owners = shard_owner(kmers, n_shards)
+    # ownership by SET identity preserves the query-time run-dedup structure
+    # (see shard_owner); dense set ids are uniform under Fibonacci hashing
+    owners = shard_owner(set_ids, n_shards)
 
     shard_posts = []
     shard_keys = []
     shard_starts_v = []
     shard_lens_v = []
+    shard_set_offsets = []
     for s in range(n_shards):
         sel = owners == s
         k_s = kmers[sel]
@@ -112,6 +140,7 @@ def shard_index_arrays(
         shard_starts_v.append(starts_local[local_ids].astype(np.uint32))
         shard_lens_v.append(lens[local_ids].astype(np.uint32))
         shard_posts.append(post_local)
+        shard_set_offsets.append(starts_local.astype(np.uint64))
 
     # build with a shared table size so all shard tables stack shape-
     # identically; grow the common log2 until every shard converges at it
@@ -138,109 +167,304 @@ def shard_index_arrays(
         postings=posts_pad,
         hash_log2=common_t,
         n_shards=n_shards,
+        set_offsets=shard_set_offsets,
+        postings_sizes=[p.size for p in shard_posts],
     )
 
 
 # ---------------------------------------------------------------------------
-# Device-side sharded search step
+# Device-side sharded search kernels
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_search(mesh, hash_log2: int, cap: int, k: int,
-                        width: int = 0, positions: bool = False):
-    """Build the jitted multi-device search step over `mesh` with axes
-    ("dp", "shard").
+def _decode(codes, width):
+    """Unpack the wire format (or pass through raw residue codes)."""
+    import jax.numpy as jnp
 
-    Returns fn(tables, postings, codes, n_kmers) ->
-    (counts int32[B, k], hit_rows uint32[B, k], totals int32[B]
-    [, bitmaps uint8[B, k, L//8]]) with B divisible by dp * shard sizes.
-    `codes` is int32[B, L+6] residue codes, or -- when width == L+6 is given
-    -- the packed uint32 wire format from codec.pack_codes7 (7 residues/word;
-    what ships over DCN on multi-host meshes).  `totals` is each query's
-    maximum shard-local postings volume, driving the adaptive capacity
-    exactly like the single-chip engine.
+    from .. import codec
 
-    With positions=True the per-hit k-mer position bitmaps are computed on
-    device from the all-to-all-merged expansion (the k-mer position index of
-    every expanded entry travels with its row through the same collective),
-    exactly like the single-chip fused kernel's MXU one-hot path.
-    """
+    if width:
+        if codes.dtype == jnp.uint32:
+            return codec.unpack_codes7_jnp(codes, width)
+        return codec.unpack_codes3_jnp(codes, width)
+    return codes
+
+
+def _probe_dedup(table_b, codes, n_kmers, hash_log2, miss_start, width):
+    """Shared front half of every sharded kernel: decode -> encode ->
+    shard-local cuckoo probe -> query-time run dedup.  Returns
+    (offs, lens, lens_u, wstart, run_start, L)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import codec
+    from ..ops.count import dedup_runs
+    from ..ops.probe import probe_slices
+
+    codes_i = _decode(codes, width)
+    L = codes_i.shape[1] - (KMER_SIZE - 1)
+    kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c.astype(jnp.int32), L))(
+        codes_i)
+    starts, lens = probe_slices(table_b, kmers, hash_log2,
+                                miss_start=miss_start)
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_query = lane < n_kmers[:, None]
+    offs = jnp.where(in_query, starts, jnp.uint32(miss_start)).astype(jnp.int32)
+    lens = jnp.where(in_query, lens, 0).astype(jnp.int32)
+    lens_u, wstart, run_start = dedup_runs(offs, lens)
+    return offs, lens, lens_u, wstart, run_start, L
+
+
+def make_sharded_totals(mesh, hash_log2: int, miss_start: int,
+                        width: int = 0):
+    """Phase 1 of the grouped sharded engine: probe + run dedup + hot split
+    on every shard, reporting each query's MAX shard-local cold expansion
+    volume (drives the group cap), its SUM across shards (== the single-chip
+    deduplicated volume under set-identity sharding; diagnostics/scaling
+    evidence), and its total hot run weight (routes the query to the
+    dense-path kernel).  hot_thresh is the per-shard hot-set length
+    threshold (int32[n_shards]; 2^30 disables)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    from .. import codec
-    from ..ops.count import (count_topk, dedup_runs, gather_postings,
+    def local_totals(table_b, thresh_b, codes, n_kmers):
+        table_b = table_b[0]
+        offs, lens, lens_u, wstart, run_start, L = _probe_dedup(
+            table_b, codes, n_kmers, hash_log2, miss_start, width)
+        hot = lens >= thresh_b[0]
+        whot = jnp.where(hot & (lens_u > 0), wstart, 0).astype(jnp.int32)
+        cold_total = jnp.sum(jnp.where(hot, 0, lens_u), axis=1).astype(jnp.int32)
+        tmax = jax.lax.pmax(cold_total, "shard")
+        tsum = jax.lax.psum(cold_total, "shard")
+        hot_sum = jax.lax.psum(whot.sum(axis=1), "shard")
+        return tmax, tsum, hot_sum
+
+    fn = shard_map(
+        local_totals,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),   # tables
+            P("shard",),              # hot_thresh
+            P("dp", None),            # codes (replicated over shard)
+            P("dp",),                 # n_kmers
+        ),
+        # pmax/psum leave the outputs shard-invariant
+        out_specs=(P("dp",), P("dp",), P("dp",)),
+        check_vma=False,
+    )
+    import jax as _jax
+
+    return _jax.jit(fn)
+
+
+def _or_merge_bitmaps(packed, counts, n_shards: int):
+    """OR-merge per-shard packed bitmaps [B, K, L8] through one all_to_all:
+    each finalizing device receives all shards' contributions for its B/n
+    queries and bit-ors them; padding hits (count 0) are zeroed."""
+    import jax
+    import jax.numpy as jnp
+
+    merged = jax.lax.all_to_all(packed, "shard", split_axis=0,
+                                concat_axis=1, tiled=True)
+    B_loc = merged.shape[0]
+    K = merged.shape[1] // n_shards
+    merged = merged.reshape(B_loc, n_shards, K, merged.shape[2])
+    bits = jax.lax.reduce(merged, np.uint8(0), jax.lax.bitwise_or, (1,))
+    return jnp.where(counts[:, :, None] > 0, bits, np.uint8(0))
+
+
+def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
+                       width: int = 0, positions: bool = False,
+                       hot: bool = False):
+    """One phase-2 group of the sharded engine: per-shard run-deduplicated
+    expansion at `cap`, all_to_all hit merge, weighted RLE count + top-k --
+    plus, when hot=True, the dense hot-set path (shard-local W @ M partial
+    counts merged exactly via psum_scatter, ops/hotset.py semantics).
+
+    Cold signature: fn(tables, postings, codes, n_kmers)
+    Hot signature:  fn(tables, postings, hot_thresh, M, MT, hot_starts,
+                       codes, n_kmers)
+    Returns (counts int32[G, k], hit_rows uint32[G, k]
+    [, bitmaps uint8[G, k, L//8] when positions]).
+
+    With positions=True the bitmaps are computed from the deduplicated
+    per-shard expansion in a second in-kernel round: merged top hits are
+    all_gather'd to every shard, each shard run-expands its own bitmap
+    contribution (ops/count.py:expand_run_bitmaps over ITS run structure --
+    run structures differ per shard, so expansion must happen pre-merge),
+    and the packed bitmaps OR-merge through one more all_to_all."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..ops.count import (count_topk, gather_postings,
+                             member_bitmap_from_rows, pack_bits, sort_rle)
+
+    n_shards = mesh.shape["shard"]
+
+    def expand_and_merge(postings, offs, lens_u, wstart, hot_mask):
+        lens_eff = lens_u if hot_mask is None else jnp.where(hot_mask, 0,
+                                                             lens_u)
+        cum = jnp.cumsum(lens_eff, axis=1).astype(jnp.int32)
+        total = cum[:, -1]
+        rows, seg, _, w = gather_postings(postings, offs, cum, total, cap,
+                                          wstart=wstart)
+        rows_ex = jax.lax.all_to_all(rows, "shard", split_axis=0,
+                                     concat_axis=1, tiled=True)
+        w_ex = jax.lax.all_to_all(w, "shard", split_axis=0, concat_axis=1,
+                                  tiled=True)
+        return rows, seg, rows_ex, w_ex
+
+    def position_round(postings_rows, seg, run_start, hit_rows, counts, L,
+                       extra_bits=None):
+        hits_all = jax.lax.all_gather(hit_rows, "shard", axis=0, tiled=True)
+        found = member_bitmap_from_rows(postings_rows, seg, hits_all, L)
+        from ..ops.count import expand_run_bitmaps
+
+        found = expand_run_bitmaps(found, run_start)
+        if extra_bits is not None:
+            found = found | extra_bits(hits_all)
+        return _or_merge_bitmaps(pack_bits(found), counts, n_shards)
+
+    if not hot:
+
+        def local_step(table_b, postings, codes, n_kmers):
+            table_b = table_b[0]
+            postings = postings[0]
+            miss_start = postings.shape[0]
+            offs, lens, lens_u, wstart, run_start, L = _probe_dedup(
+                table_b, codes, n_kmers, hash_log2, miss_start, width)
+            rows, seg, rows_ex, w_ex = expand_and_merge(
+                postings, offs, lens_u, wstart, None)
+            counts, hit_rows = count_topk(rows_ex, k, weights=w_ex)
+            if not positions:
+                return counts, hit_rows
+            bits = position_round(rows, seg, run_start, hit_rows, counts, L)
+            return counts, hit_rows, bits
+
+        in_specs = (
+            P("shard", None, None),   # tables
+            P("shard", None),         # postings
+            P("dp", None),            # codes
+            P("dp",),                 # n_kmers
+        )
+    else:
+        from ..ops.hotset import (hot_lane_mask, hot_position_bitmaps,
+                                  hot_weights, merge_hot_cold)
+
+        def local_step(table_b, postings, thresh_b, M_b, MT_b, hstarts_b,
+                       codes, n_kmers):
+            table_b = table_b[0]
+            postings = postings[0]
+            M, MT, hstarts = M_b[0], MT_b[0], hstarts_b[0]
+            miss_start = postings.shape[0]
+            offs, lens, lens_u, wstart, run_start, L = _probe_dedup(
+                table_b, codes, n_kmers, hash_log2, miss_start, width)
+            hot_mask = lens >= thresh_b[0]
+            whot = jnp.where(hot_mask & (lens_u > 0), wstart, 0).astype(
+                jnp.int32)
+            rows, seg, rows_ex, w_ex = expand_and_merge(
+                postings, offs, lens_u, wstart, hot_mask)
+            s_rows, cold_counts, is_start = sort_rle(rows_ex, weights=w_ex)
+            W = hot_weights(offs, whot, hstarts)
+            partial = jnp.dot(W, M.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            # every posting lives on exactly one shard, so summing the
+            # shards' dense partials merges exactly; scatter leaves each
+            # finalizing device its own G/n query rows
+            counts_hot = jax.lax.psum_scatter(partial, "shard",
+                                              scatter_dimension=0,
+                                              tiled=True)
+            counts, hit_rows = merge_hot_cold(counts_hot, s_rows,
+                                              cold_counts, is_start, k)
+            if not positions:
+                return counts, hit_rows
+
+            hot_lanes = hot_lane_mask(whot, run_start)
+
+            def extra(hits_all):
+                return hot_position_bitmaps(offs, hot_lanes, hstarts, MT,
+                                            hits_all)
+
+            bits = position_round(rows, seg, run_start, hit_rows, counts, L,
+                                  extra_bits=extra)
+            return counts, hit_rows, bits
+
+        in_specs = (
+            P("shard", None, None),       # tables
+            P("shard", None),             # postings
+            P("shard",),                  # hot_thresh
+            P("shard", None, None),       # M
+            P("shard", None, None),       # MT
+            P("shard", None),             # hot_starts
+            P("dp", None),                # codes
+            P("dp",),                     # n_kmers
+        )
+
+    out_specs = [P(("dp", "shard"), None), P(("dp", "shard"), None)]
+    if positions:
+        out_specs.append(P(("dp", "shard"), None, None))
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        # codes are replicated over "shard" while table gathers vary over it;
+        # the probe loop carry mixes the two, so disable the vma check
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_search(mesh, hash_log2: int, cap: int, k: int,
+                        width: int = 0, positions: bool = False):
+    """Whole-batch sharded search step (legacy/diagnostic API; the serving
+    engine uses make_sharded_totals + make_sharded_group).  Returns
+    fn(tables, postings, codes, n_kmers) -> (counts, hit_rows, totals
+    [, bitmaps]); `totals` is each query's max shard-local DEDUPLICATED
+    postings volume.  Unlike earlier rounds the positions path also runs
+    the query-time run dedup (expansion volume now matches the counting
+    path; results identical)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..ops.count import (count_topk, gather_postings,
                              member_bitmap_from_rows, pack_bits)
-    from ..ops.probe import probe_slices
+
+    n_shards = mesh.shape["shard"]
 
     def local_step(table_b, postings, codes, n_kmers):
-        # shapes inside shard_map (per device):
-        # table_b [1, rows, 6] (shard-local (start, len) inline);
-        # postings [1, P]; codes [B_dp, ...] (replicated over "shard");
-        # n_kmers [B_dp]
         table_b = table_b[0]
         postings = postings[0]
-
-        if width:
-            codes_i = codec.unpack_codes7_jnp(codes, width)
-        else:
-            codes_i = codes
-        L = codes_i.shape[1] - (KMER_SIZE - 1)
-        kmers = jax.vmap(lambda c: codec.encode_kmers_jnp(c, L))(codes_i)
-        # the miss sentinel must not equal any REAL shard-local slice start
-        # or run-dedup below would merge a miss into a neighboring real run;
-        # the (padded) postings length can never be a real start
         miss_start = postings.shape[0]
-        starts, lens = probe_slices(table_b, kmers, hash_log2,
-                                    miss_start=miss_start)
-        lane = jnp.arange(L, dtype=jnp.int32)[None, :]
-        in_query = lane < n_kmers[:, None]
-        offs = jnp.where(in_query, starts,
-                         jnp.uint32(miss_start)).astype(jnp.int32)
-        lens = jnp.where(in_query, lens, 0).astype(jnp.int32)
-        if positions:
-            # per-shard run structures cannot be recovered after the
-            # all-to-all merge, so position batches expand undeduplicated
-            # (results identical; only the expansion volume differs)
-            cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)
-            total = cum[:, -1]
-            rows, seg, _ = gather_postings(postings, offs, cum, total, cap)
-            weights = None
-        else:
-            # query-time KComb (ops/count.py:dedup_runs), per shard
-            lens_u, wstart, _ = dedup_runs(offs, lens)
-            cum = jnp.cumsum(lens_u, axis=1).astype(jnp.int32)
-            total = cum[:, -1]
-            rows, seg, _, w = gather_postings(postings, offs, cum, total,
-                                              cap, wstart=wstart)
-            weights = jax.lax.all_to_all(
-                w, "shard", split_axis=0, concat_axis=1, tiled=True
-            )
-
-        # every shard holds a disjoint postings subset; swap so each device
-        # finalizes B_dp/n_shards queries over all shards' contributions
-        rows_ex = jax.lax.all_to_all(
-            rows, "shard", split_axis=0, concat_axis=1, tiled=True
-        )
-        counts, hit_rows = count_topk(rows_ex, k, weights=weights)
-        # max shard-local volume per query, for host-side cap adaptation;
-        # swap like the rows so each device reports the queries it finalized
+        offs, lens, lens_u, wstart, run_start, L = _probe_dedup(
+            table_b, codes, n_kmers, hash_log2, miss_start, width)
+        cum = jnp.cumsum(lens_u, axis=1).astype(jnp.int32)
+        total = cum[:, -1]
+        rows, seg, _, w = gather_postings(postings, offs, cum, total, cap,
+                                          wstart=wstart)
+        rows_ex = jax.lax.all_to_all(rows, "shard", split_axis=0,
+                                     concat_axis=1, tiled=True)
+        w_ex = jax.lax.all_to_all(w, "shard", split_axis=0, concat_axis=1,
+                                  tiled=True)
+        counts, hit_rows = count_topk(rows_ex, k, weights=w_ex)
         tmax = jax.lax.pmax(total, "shard")
-        tmax = jax.lax.all_to_all(
-            tmax[:, None], "shard", split_axis=0, concat_axis=1, tiled=True
-        )[:, 0]
+        tmax = jax.lax.all_to_all(tmax[:, None], "shard", split_axis=0,
+                                  concat_axis=1, tiled=True)[:, 0]
         if not positions:
             return counts, hit_rows, tmax
-        # the per-entry k-mer position rides the same all_to_all as rows, so
-        # the merged expansion keeps (row, position) pairs aligned
-        seg_ex = jax.lax.all_to_all(
-            seg, "shard", split_axis=0, concat_axis=1, tiled=True
-        )
-        found = member_bitmap_from_rows(rows_ex, seg_ex, hit_rows, L)
-        found = found & (counts[:, :, None] > 0)
-        return counts, hit_rows, tmax, pack_bits(found)
+        hits_all = jax.lax.all_gather(hit_rows, "shard", axis=0, tiled=True)
+        found = member_bitmap_from_rows(rows, seg, hits_all, L)
+        from ..ops.count import expand_run_bitmaps
+
+        found = expand_run_bitmaps(found, run_start)
+        bits = _or_merge_bitmaps(pack_bits(found), counts, n_shards)
+        return counts, hit_rows, tmax, bits
 
     out_specs = [P(("dp", "shard"), None), P(("dp", "shard"), None),
                  P(("dp", "shard"),)]
@@ -256,8 +480,6 @@ def make_sharded_search(mesh, hash_log2: int, cap: int, k: int,
             P("dp",),                 # n_kmers
         ),
         out_specs=tuple(out_specs),
-        # codes are replicated over "shard" while table gathers vary over it;
-        # the probe loop carry mixes the two, so disable the vma check
         check_vma=False,
     )
     return jax.jit(fn)

@@ -139,6 +139,106 @@ def test_sharded_fastq_pipeline_matches_single(db, tmp_path):
     assert single.count(b"\n") >= 8  # header + most reads hit
 
 
+@pytest.fixture(scope="module")
+def skew_db(tmp_path_factory):
+    """Domain-skewed DB (hot sets + heavy runs): the regime the single-chip
+    engine's skew machinery exists for, now required on the sharded engine
+    too (VERDICT r2 ask #2)."""
+    rng = np.random.default_rng(23)
+    domains = ["".join(rng.choice(list(AA), size=int(rng.integers(25, 60))))
+               for _ in range(6)]
+    seqs = []
+    with_dom = []
+    for i in range(80):
+        parts = []
+        for d, dom in enumerate(domains):
+            if rng.random() < 1.0 / (d + 2):
+                parts.append(dom)
+        parts.append("".join(rng.choice(list(AA), size=int(rng.integers(20, 60)))))
+        rng.shuffle(parts)
+        seqs.append("".join(parts))
+    tmp = tmp_path_factory.mktemp("distskew")
+    fasta = tmp / "in.fasta"
+    with open(fasta, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">K{i} skew {i}\n{s}\n")
+    dbdir = str(tmp / "db")
+    build_db(dbdir, str(fasta), "fasta")
+    return load_db(dbdir), seqs, domains
+
+
+def test_sharded_skewed_pipeline_byte_identical(skew_db, tmp_path):
+    """Full pipeline (positions on) over a skewed DB: the sharded engine --
+    hot dense path, grouped phase 2, run-dedup positions -- must be
+    byte-identical to the single-chip engine."""
+    art, seqs, domains = skew_db
+    qf = tmp_path / "q.fasta"
+    with open(qf, "w") as f:
+        for i in (0, 9, 33, 61):
+            f.write(f">q{i}\n{seqs[i]}\n")
+        f.write(">hot\n" + domains[0] + domains[1] + "\n")
+        f.write(">mut\n" + seqs[5][:30] + "W" + seqs[5][31:] + "\n")
+
+    opts = SearchOptions(File=str(qf), SequenceType=PROTEIN, OutFormat="tsv",
+                         ExtractPositions=True, Annotations=True,
+                         MaxResults=5)
+    single = b"".join(run_search(SearchEngine(art), opts))
+    eng = ShardedSearchEngine(art, mesh=global_mesh(4))
+    assert eng.hot_starts is not None  # the dense path is actually on
+    sharded = b"".join(run_search(eng, opts))
+    assert single == sharded
+
+
+def test_sharded_hot_groups_dispatched(skew_db):
+    """Hot queries on the sharded engine route through the dense-matmul
+    group kernel (not just fall back to cold expansion)."""
+    art, seqs, domains = skew_db
+    eng = ShardedSearchEngine(art, mesh=global_mesh(4))
+    assert eng.hot_starts is not None
+    queries = [domains[0] + domains[1], seqs[2], seqs[40][:40]]
+    sizes = [len(q) - 6 for q in queries]
+
+    seen = []
+    orig = eng._group_fn
+
+    def spy(cap, k, width, positions, hot):
+        seen.append(hot)
+        return orig(cap, k, width, positions, hot)
+
+    eng._group_fn = spy
+    got = eng.count_batch(queries, sizes, k=8)
+    eng._group_fn = orig
+    assert any(seen), "no hot group dispatched"
+
+    want = SearchEngine(art).count_batch(queries, sizes, k=8)
+    for qw, qg in zip(want, got):
+        assert [int(r) for r in qw.hit_rows] == [int(r) for r in qg.hit_rows]
+        assert [int(c) for c in qw.counts] == [int(c) for c in qg.counts]
+
+
+def test_sharded_expansion_volume_matches_single_chip(skew_db):
+    """Set-identity sharding preserves the query-time run-dedup structure:
+    the SUM of shard-local deduplicated cold volumes equals the single-chip
+    deduplicated volume per query exactly (VERDICT r2 ask #2's virtual-mesh
+    check).  K-mer-identity sharding would fragment every run and inflate
+    this by ~the mean run length."""
+    art, seqs, domains = skew_db
+    queries = [seqs[0], domains[0] * 2, seqs[7][:60], seqs[11]]
+    sizes = [len(q) - 6 for q in queries]
+
+    single = SearchEngine(art, hot=False)
+    h = single.dispatch_batch(queries, sizes, k=8)
+    single_totals = np.asarray(h[0][5])[: len(queries)]
+    single.resolve_batch(h)
+
+    eng = ShardedSearchEngine(art, mesh=global_mesh(4), hot=False)
+    hs = eng.dispatch_batch(queries, sizes, k=8)
+    tsum = np.asarray(hs[0][1])[: len(queries)]
+    eng.resolve_batch(hs)
+
+    assert np.array_equal(tsum, single_totals)
+
+
 def test_sharded_warmup_does_not_touch_cap_hint(db):
     art, seqs, _ = db
     eng = ShardedSearchEngine(art, mesh=global_mesh(4))
