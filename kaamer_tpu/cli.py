@@ -31,7 +31,10 @@ def _db_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", type=int, default=os.cpu_count(), help="number of threads")
     p.add_argument("-tmp", default="/tmp/", help="tmp folder for query import")
     p.add_argument("-shards", type=int, default=0,
-                   help="serve from an index sharded over N devices (0 = single-device)")
+                   help="index sharding: with -server, serve from an index "
+                        "sharded over N devices; with -make/-index, BUILD a "
+                        "per-shard index (required past 2^31 postings) "
+                        "(0 = single-device)")
     p.add_argument("-i", default="", help="input file")
     p.add_argument("-f", default="", help="input format (fasta|tsv|embl|gbk|genbank)")
     p.add_argument("-d", default="", help="database path")
@@ -103,7 +106,7 @@ def kaamer_db_main(argv=None) -> int:
         from .index.build import build_db
 
         build_db(args.d, args.i, args.f, offset=args.offset, length=args.length,
-                 no_index=args.noindex, progress=True)
+                 no_index=args.noindex, progress=True, n_shards=args.shards)
         return 0
 
     if args.index:
@@ -112,7 +115,7 @@ def kaamer_db_main(argv=None) -> int:
             return 1
         from .index.build import index_db
 
-        index_db(args.d, progress=True)
+        index_db(args.d, progress=True, n_shards=args.shards)
         return 0
 
     if args.merge:

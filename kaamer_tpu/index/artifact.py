@@ -89,6 +89,12 @@ class DBArtifact:
     hash_log2: int = 0
     set_offsets: Optional[np.ndarray] = None  # uint64[S+1]
     postings: Optional[np.ndarray] = None     # uint32[P]
+    # sharded indexed representation (index_db n_shards > 1): per-shard
+    # arrays with shard-LOCAL slice starts; the global fields above are None
+    index_shards: int = 0
+    shard_tables: Optional[List[np.ndarray]] = None
+    shard_set_offsets: Optional[List[np.ndarray]] = None
+    shard_postings: Optional[List[np.ndarray]] = None
     # unindexed representation
     pairs: Optional[np.ndarray] = None        # uint64[(kmer<<32)|row] sorted
     # external id -> dense row
@@ -122,6 +128,7 @@ def write_meta(
     settings: KSettings,
     indexed: bool,
     hash_log2: int = 0,
+    index_shards: int = 0,
 ) -> None:
     meta = {
         "format_version": FORMAT_VERSION,
@@ -134,6 +141,10 @@ def write_meta(
             "log2": hash_log2,
         },
     }
+    if index_shards:
+        # per-shard index files under <db>/shardNN/ with shard-local
+        # uint32 slice starts (index/build.py index_db n_shards > 1)
+        meta["index_shards"] = index_shards
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
@@ -248,10 +259,23 @@ def load_db(path: str, mmap: bool = True) -> DBArtifact:
                 f"{path}: unsupported index format "
                 f"{meta['hash'].get('kind', 'two-level-v1')!r}; rebuild the "
                 f"database with makedb/indexdb (expected {HASH_KIND!r})")
-        art.hash_table = np.load(os.path.join(path, "hash_table.npy"), mmap_mode=mm)
         art.hash_log2 = meta["hash"]["log2"]
-        art.set_offsets = np.load(os.path.join(path, "set_offsets.npy"), mmap_mode=mm)
-        art.postings = np.load(os.path.join(path, "postings.npy"), mmap_mode=mm)
+        art.index_shards = int(meta.get("index_shards", 0))
+        if art.index_shards:
+            art.shard_tables, art.shard_set_offsets, art.shard_postings = \
+                [], [], []
+            for s in range(art.index_shards):
+                d = os.path.join(path, f"shard{s:02d}")
+                art.shard_tables.append(
+                    np.load(os.path.join(d, "hash_table.npy"), mmap_mode=mm))
+                art.shard_set_offsets.append(
+                    np.load(os.path.join(d, "set_offsets.npy"), mmap_mode=mm))
+                art.shard_postings.append(
+                    np.load(os.path.join(d, "postings.npy"), mmap_mode=mm))
+        else:
+            art.hash_table = np.load(os.path.join(path, "hash_table.npy"), mmap_mode=mm)
+            art.set_offsets = np.load(os.path.join(path, "set_offsets.npy"), mmap_mode=mm)
+            art.postings = np.load(os.path.join(path, "postings.npy"), mmap_mode=mm)
     else:
         art.pairs = np.load(os.path.join(path, "pairs.npy"), mmap_mode=mm)
     return art

@@ -120,20 +120,95 @@ class ShardedSearchEngine(PositionBitmapServing):
         self.mult = self.dp * self.n_shards
         self._cap_hint = cap or self.CAP_MIN  # diagnostic only
         self.k = k
-
-        self.sharded = shard_index(art, self.n_shards)
-        self.tables = jnp.asarray(self.sharded.tables)
-        self.postings = jnp.asarray(self.sharded.postings)
-        self.miss_start = int(self.sharded.postings.shape[1])
         self._totals_cache = {}
         self._group_cache = {}
 
-        # host-side structures for position lookups (global index view)
-        so = np.asarray(art.set_offsets)
-        self.set_starts_np = np.concatenate([so, so[-1:]]).astype(np.int64)
-        self.postings_np = np.asarray(art.postings)
+        if getattr(art, "index_shards", 0):
+            # build-time per-shard artifacts (index_db n_shards > 1): load
+            # the shard arrays directly -- no global artifact exists (this
+            # is the only layout past build.MAX_POSTINGS), so device arrays
+            # are placed one shard at a time and the host fallbacks run
+            # over a virtual concatenation of the shard postings
+            if art.index_shards != self.n_shards:
+                raise ValueError(
+                    f"artifact has {art.index_shards} index shards; the "
+                    f"mesh 'shard' axis is {self.n_shards} -- they must "
+                    f"match (re-index or use an {art.index_shards}-shard "
+                    f"mesh)")
+            from .mesh import ShardedIndexArrays
+
+            tables_l = [np.asarray(t) for t in art.shard_tables]
+            posts_l = [np.asarray(p) for p in art.shard_postings]
+            sizes = [int(p.shape[0]) for p in posts_l]
+            self.sharded = ShardedIndexArrays(
+                tables=None, postings=None,  # device-resident only
+                hash_log2=art.hash_log2, n_shards=self.n_shards,
+                set_offsets=[np.asarray(o) for o in art.shard_set_offsets],
+                postings_sizes=sizes)
+            self.postings_np = _ConcatPostings(posts_l)
+            self._post_bases = self.postings_np.bases
+            P_max = max(1, _next_pow2(max(sizes)))
+            # set_starts_np is built lazily via __getattr__ (it is only
+            # needed by host fallbacks, and is O(total sets) in memory)
+        else:
+            self.sharded = shard_index(art, self.n_shards)
+            tables_l = [self.sharded.tables[s]
+                        for s in range(self.n_shards)]
+            posts_l = [self.sharded.postings[s, :sz] for s, sz in
+                       enumerate(self.sharded.postings_sizes)]
+            so = np.asarray(art.set_offsets)
+            self.set_starts_np = np.concatenate([so, so[-1:]]).astype(
+                np.int64)
+            self.postings_np = np.asarray(art.postings)
+            P_max = int(self.sharded.postings.shape[1])
+
+        self._posts_local = posts_l  # shard-local views, true (unpadded) len
+        self.tables = self._device_stack(tables_l, tables_l[0].shape,
+                                         np.uint32)
+        self.postings = self._device_stack(posts_l, (P_max,), np.uint32)
+        self.miss_start = P_max
 
         self._init_hot(hot)
+
+    def _device_stack(self, parts, shape_tail, dtype):
+        """[n_shards, *shape_tail] device array laid out over the mesh's
+        'shard' axis, placed one shard at a time (padding each part to the
+        common tail shape) -- shard-built artifacts can exceed host RAM, so
+        the full stacked array is never materialized on host."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shape_tail = tuple(shape_tail)
+        global_shape = (self.n_shards,) + shape_tail
+        sharding = NamedSharding(self.mesh,
+                                 P("shard", *([None] * len(shape_tail))))
+
+        def cb(index):
+            s = index[0].start or 0
+            part = np.asarray(parts[s])
+            if part.shape == shape_tail:
+                buf = part[None]
+            else:
+                buf = np.zeros((1,) + shape_tail, dtype=dtype)
+                buf[(0,) + tuple(slice(0, d) for d in part.shape)] = part
+            return buf.astype(dtype, copy=False)
+
+        return jax.make_array_from_callback(global_shape, sharding, cb)
+
+    def __getattr__(self, name):
+        if name == "set_starts_np":
+            # virtual-global set starts over the shard postings concat:
+            # strictly increasing (per-shard starts + rising bases), with
+            # the usual +sentinel duplicate (searchsorted contract of
+            # engine.QueryCounts)
+            parts = [np.asarray(o[:-1]).astype(np.int64) + int(b)
+                     for o, b in zip(self.art.shard_set_offsets,
+                                     self._post_bases[:-1])]
+            total = int(self._post_bases[-1])
+            v = np.concatenate(parts + [np.asarray([total, total])])
+            self.set_starts_np = v
+            return v
+        raise AttributeError(name)
 
     # ------------------------------------------------------------------
     # Hot-set dense path (per-shard ops/hotset.py structures)
@@ -169,8 +244,7 @@ class ShardedSearchEngine(PositionBitmapServing):
             hs, thresh, _ = sel
             self.hot_thresh_np[s] = thresh
             starts[s, : hs.shape[0]] = hs
-            post_local = self.sharded.postings[
-                s, : self.sharded.postings_sizes[s]]
+            post_local = self._posts_local[s]
             hotset.build_membership_np(post_local,
                                        self.sharded.set_offsets[s], hs,
                                        P_pad, out=M[s, : hs.shape[0]])
@@ -507,6 +581,54 @@ class ShardedSearchEngine(PositionBitmapServing):
         return qc
 
 
+class _ConcatPostings:
+    """Read-only virtual concatenation of per-shard postings arrays
+    (shard-built artifacts never materialize a global postings array: the
+    whole point of index_db(n_shards > 1) is that the global size exceeds
+    uint32 addressing / host RAM).  Supports exactly the access patterns of
+    the host fallbacks: len(), contiguous slices (postings set slices never
+    cross a shard boundary -- sets are routed whole, index/build.py), and
+    fancy integer indexing (ops/count.py:member_np binary search probes)."""
+
+    def __init__(self, parts: List[np.ndarray]):
+        self.parts = parts
+        self.bases = np.zeros(len(parts) + 1, dtype=np.int64)
+        np.cumsum([p.shape[0] for p in parts], out=self.bases[1:])
+        self.dtype = parts[0].dtype if parts else np.dtype(np.uint32)
+
+    def __len__(self) -> int:
+        return int(self.bases[-1])
+
+    @property
+    def shape(self):
+        return (len(self),)
+
+    def _shard_of(self, flat_idx: np.ndarray) -> np.ndarray:
+        # side="right" skips empty shards (repeated bases) correctly
+        s = np.searchsorted(self.bases, flat_idx, side="right") - 1
+        return np.clip(s, 0, len(self.parts) - 1)
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            o = int(key.start or 0)
+            e = len(self) if key.stop is None else min(int(key.stop),
+                                                       len(self))
+            if e <= o:
+                return np.empty(0, dtype=self.dtype)
+            s = int(self._shard_of(np.asarray([o]))[0])
+            base = int(self.bases[s])
+            return self.parts[s][o - base : e - base]
+        idx = np.asarray(key, dtype=np.int64)
+        sh = self._shard_of(idx.ravel())
+        local = idx.ravel() - self.bases[sh]
+        out = np.empty(idx.size, dtype=self.dtype)
+        for s, p in enumerate(self.parts):
+            m = sh == s
+            if m.any():
+                out[m] = p[local[m]]
+        return out.reshape(idx.shape)
+
+
 class _LazyBatchSlices:
     """Per-batch lazy global k-mer -> slice-start resolution for position
     lookups: one vectorized host probe of the global artifact table for the
@@ -525,19 +647,36 @@ class _LazyBatchSlices:
             from ..index.hashtable import CuckooTable, lookup_np
 
             eng = self._engine
-            if not hasattr(eng, "_ht"):
-                eng._ht = CuckooTable(
-                    table=np.asarray(eng.art.hash_table),
-                    log2=eng.art.hash_log2,
-                )
             miss = int(eng.set_starts_np[-1])  # global P -> empty-set id
             L = max(self._sizes) if self._sizes else 1
             width = L + KMER_SIZE - 1
             codes = codec.pad_codes_batch(self._seqs, width)
             kmers = codec.encode_kmers_batch(codes.astype(np.int32))  # [B, L]
-            starts, _ = lookup_np(eng._ht, kmers.reshape(-1), miss_start=miss)
-            starts = starts.reshape(kmers.shape).astype(np.uint32)
+            flat = kmers.reshape(-1)
+            if getattr(eng.art, "index_shards", 0):
+                # no global table exists: probe every shard table (a k-mer
+                # lives on exactly one shard -- set-identity routing) and
+                # rebase local hits into the virtual-global postings concat
+                if not hasattr(eng, "_ht"):
+                    eng._ht = [CuckooTable(table=np.asarray(t),
+                                           log2=eng.art.hash_log2)
+                               for t in eng.art.shard_tables]
+                starts = np.full(flat.shape, miss, dtype=np.int64)
+                for s, ht in enumerate(eng._ht):
+                    st_s, ln_s = lookup_np(ht, flat, miss_start=0)
+                    hit = ln_s > 0
+                    starts[hit] = (st_s[hit].astype(np.int64)
+                                   + int(eng._post_bases[s]))
+                starts = starts.reshape(kmers.shape)
+            else:
+                if not hasattr(eng, "_ht"):
+                    eng._ht = CuckooTable(
+                        table=np.asarray(eng.art.hash_table),
+                        log2=eng.art.hash_log2,
+                    )
+                starts, _ = lookup_np(eng._ht, flat, miss_start=miss)
+                starts = starts.reshape(kmers.shape).astype(np.int64)
             lane = np.arange(L)[None, :]
             sizes = np.asarray(self._sizes)[:, None]
-            self._offs = np.where(lane < sizes, starts, np.uint32(miss))
+            self._offs = np.where(lane < sizes, starts, np.int64(miss))
         return self._offs

@@ -216,6 +216,11 @@ class SearchEngine(PositionBitmapServing):
     def __init__(self, art: DBArtifact, hot: bool = True):
         if not art.indexed:
             raise ValueError("database is not indexed; run index_db first")
+        if getattr(art, "index_shards", 0):
+            raise ValueError(
+                f"this database was built with {art.index_shards} index "
+                f"shards; serve it with parallel.dist.ShardedSearchEngine "
+                f"on a {art.index_shards}-shard mesh")
         import jax
         import jax.numpy as jnp
 
@@ -227,7 +232,10 @@ class SearchEngine(PositionBitmapServing):
         self.table = jnp.asarray(np.asarray(art.hash_table))
         so = np.asarray(art.set_offsets)
         if so.size and int(so[-1]) >= 2**31:
-            raise ValueError("postings larger than 2^31 need a sharded index")
+            raise ValueError(
+                "postings larger than 2^31 need a sharded index: rebuild "
+                "with index_db(n_shards > 1) and serve with "
+                "ShardedSearchEngine")
         # +sentinel "empty set" row used for probe misses and padding lanes:
         # a miss reports start == P (== set_starts_np[n_sets]), len 0, and
         # np.searchsorted(set_starts_np, start) recovers the dense set id

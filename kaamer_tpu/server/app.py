@@ -279,6 +279,12 @@ def serve(db_path: str, port: int = 8321, nb_threads: int = 0,
     print(" + Opening kAAmer Database.. ", end="", flush=True)
     t0 = time.time()
     art = load_db(db_path)
+    if getattr(art, "index_shards", 0) and n_shards <= 1:
+        # shard-BUILT artifacts (index_db n_shards > 1) have no global
+        # index; they can only be served sharded, so auto-select it
+        n_shards = art.index_shards
+        print(f"[shard-built index: serving sharded x{n_shards}] ",
+              end="", flush=True)
     if n_shards > 1:
         from ..parallel.dist import ShardedSearchEngine, global_mesh
 
