@@ -41,6 +41,16 @@ SEQ_LEN_RANGE = (120, 400)
 QUERY_LEN = 250  # uniform bucket so every batch hits one compiled shape
 GO_BASELINE_QPS = 2_000.0  # documented ESTIMATE (see module docstring)
 
+# Databases and the jax compile cache live inside the repo (gitignored):
+# /tmp is periodically cleaned on this image, and losing the 1M-protein DB
+# or the compiled executables costs the bench tens of minutes.
+CACHE_ROOT = os.environ.get(
+    "KAAMER_BENCH_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
+# soft wall-clock budget: the uncached 1M build (~10-15 min) is skipped when
+# it cannot fit (the cached artifact makes later runs cheap)
+BUDGET_S = float(os.environ.get("KAAMER_BENCH_BUDGET_S", "3000"))
+
 AA = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
 
 
@@ -213,6 +223,34 @@ def bench_fastq(engine, art, rng, tmpdir: str) -> float:
     return n_reads / best
 
 
+def bench_align_e2e(engine, art, rng, tmpdir: str) -> float:
+    """End-to-end `-aln` protein serving: full run_search stream with
+    Align=True, so alignment pairs accumulate ACROSS queries and flush
+    through the Pallas wavefront kernel in real batches (the reference pays
+    per-hit host DP here, align.go:46-161).  Returns queries/s."""
+    from kaamer_tpu.search.options import PROTEIN, SearchOptions
+    from kaamer_tpu.search.pipeline import run_search
+
+    n_q = 1024
+    queries = make_queries(art, rng, n_queries=n_q)
+    path = os.path.join(tmpdir, "bench_aln.fasta")
+    with open(path, "w") as f:
+        for i, q in enumerate(queries):
+            f.write(f">q{i}\n{q}\n")
+    opts = SearchOptions(File=path, SequenceType=PROTEIN, OutFormat="tsv",
+                         Align=True, MaxResults=3)
+    for _ in run_search(engine, opts):  # compile + warm
+        pass
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in run_search(engine, opts))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert n_out > n_q // 2
+    return n_q / best
+
+
 def bench_align(engine, art, rng):
     """Alignment throughput through the Pallas Smith-Waterman wavefront
     kernel (the per-hit cost the reference pays on every -aln query,
@@ -253,30 +291,36 @@ def main() -> None:
     try:  # persistent compile cache across bench runs
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE_ROOT, "jax"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
     from kaamer_tpu.search.engine import SearchEngine
 
-    sizes_env = os.environ.get("KAAMER_BENCH_SIZES", "10000,100000")
+    sizes_env = os.environ.get("KAAMER_BENCH_SIZES", "10000,100000,1000000")
     sizes = [int(s) for s in sizes_env.split(",") if s]
-    db_1m = "/tmp/kaamer_bench_skew_1000000"
-    if os.environ.get("KAAMER_BENCH_1M") or (
-        1_000_000 not in sizes
-        and os.path.exists(os.path.join(db_1m, "meta.json"))
-    ):
-        sizes.append(1_000_000)  # include when forced or already cached
 
     def note(msg):  # progress on stderr; stdout stays one JSON line
         print(f"# {msg}", file=sys.stderr, flush=True)
 
     per_db = {}
+    skipped = []
     engine10k = art10k = None
     t_start = time.perf_counter()
     for n in sizes:
-        path = f"/tmp/kaamer_bench_skew_{n}"
+        path = os.path.join(CACHE_ROOT, f"skew_{n}")
+        cached = os.path.exists(os.path.join(path, "meta.json"))
+        elapsed = time.perf_counter() - t_start
+        if n >= 1_000_000 and not cached and BUDGET_S - elapsed < 1500:
+            # an uncached 1M build costs ~10-15 min; skip rather than lose
+            # the whole bench to the wall clock (next run finds it cached)
+            skipped.append(n)
+            note(f"db n={n}: SKIPPED (uncached build does not fit the "
+                 f"remaining {BUDGET_S - elapsed:.0f}s budget)")
+            continue
         note(f"db n={n}: build/load")
         art = ensure_db(path, build_skewed_db, n)
         engine = SearchEngine(art)
@@ -301,7 +345,8 @@ def main() -> None:
 
     # continuity figure: the uniformly random 10k DB earlier rounds reported
     note("random-db continuity figure")
-    rand_path = os.environ.get("KAAMER_BENCH_DB", "/tmp/kaamer_bench_db")
+    rand_path = os.environ.get("KAAMER_BENCH_DB",
+                               os.path.join(CACHE_ROOT, "random_10000"))
     art_r = ensure_db(rand_path, build_synthetic_db)
     eng_r = SearchEngine(art_r)
     rng = np.random.default_rng(99)
@@ -319,12 +364,23 @@ def main() -> None:
 
     aligned_qps = None
     align_device = None
+    aln_e2e_qps = None
     if not os.environ.get("KAAMER_BENCH_NO_ALIGN"):
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(420)  # the Pallas SW kernel can cost a ~250s+ remote
         try:                # compile on a cold cache; never lose the bench
             aligned_qps, align_device = bench_align(engine10k, art10k, rng)
             aligned_qps = round(aligned_qps, 1)
+        except _SoftTimeout:
+            pass
+        finally:
+            signal.alarm(0)
+        note("end-to-end -aln serving")
+        signal.alarm(420)
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                aln_e2e_qps = round(
+                    bench_align_e2e(engine10k, art10k, rng, td), 1)
         except _SoftTimeout:
             pass
         finally:
@@ -352,6 +408,8 @@ def main() -> None:
                     "fastq_reads_per_s": round(fastq_rps, 1),
                     "aligned_pairs_per_s": aligned_qps,
                     "align_on_device": align_device,
+                    "aln_queries_per_s": aln_e2e_qps,
+                    "skipped_dbs": skipped,
                     "batch": BATCH,
                     "query_len": QUERY_LEN,
                 },

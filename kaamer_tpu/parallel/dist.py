@@ -385,6 +385,10 @@ class ShardedSearchEngine(PositionBitmapServing):
                             hot_h[:B_real] == 0)).tolist()
         totals_l = totals_h.tolist()
         hot_l = (hot_h > 0).tolist()
+        from ..search.engine import _cap_bucket_vec
+
+        caps_l = np.maximum(np.minimum(_cap_bucket_vec(totals_h), limit_g),
+                            self.CAP_MIN).tolist()
         normal: List[int] = []
         chunks: List[tuple] = []  # (rows, G_c, cap_c, hot)
         heavy: List[int] = []
@@ -412,8 +416,7 @@ class ShardedSearchEngine(PositionBitmapServing):
         while i0 < len(normal):
             q0 = normal[i0]
             hot0 = self.hot_starts is not None and hot_l[q0]
-            cap_c = cap_pin or max(min(_cap_bucket(totals_l[q0]), limit_g),
-                                   self.CAP_MIN)
+            cap_c = cap_pin or caps_l[q0]
             i1 = i0 + 1
             while i1 < len(normal):
                 q = normal[i1]
@@ -421,9 +424,7 @@ class ShardedSearchEngine(PositionBitmapServing):
                         and hot_l[q] != hot0) and not cap_pin:
                     break
                 if not cap_pin:
-                    cq = max(min(_cap_bucket(totals_l[q]), limit_g),
-                             self.CAP_MIN)
-                    if cq != cap_c and totals_l[q] * 2 < cap_c:
+                    if caps_l[q] != cap_c and totals_l[q] * 2 < cap_c:
                         break
                 i1 += 1
             seg = normal[i0:i1]
@@ -464,8 +465,8 @@ class ShardedSearchEngine(PositionBitmapServing):
             bm = None
             if pos_dev:
                 bm = np.unpackbits(self._jax.device_get(outs2[2]), axis=-1,
-                                   bitorder="little")
-            ms = (ch > 0).sum(axis=1)
+                                   bitorder="little").view(np.bool_)
+            ms = (ch > 0).sum(axis=1).tolist()
             for j, i in enumerate(rows):
                 if i >= B_real:
                     continue

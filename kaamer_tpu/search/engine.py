@@ -87,6 +87,21 @@ MAX_EXPANSION_ELEMS = 1 << 24
 HOT_DENSE_BYTES = 1 << 28
 
 
+def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
+    """_cap_bucket over a whole batch (the scheduler calls it once per
+    query; vectorized it is one pass instead of ~30k Python calls/s at
+    read-search rates)."""
+    n = np.clip(totals.astype(np.int64), CAP_MIN, CAP_MAX)
+    # float64 holds these ints exactly; log2 of an exact power of two is
+    # exact, so ceil never over-rounds
+    p = (1 << np.ceil(np.log2(n)).astype(np.int64))
+    h = p >> 1
+    c1 = h + (h >> 2)
+    c2 = h + (h >> 1)
+    cap = np.where(c1 >= n, c1, np.where(c2 >= n, c2, p))
+    return np.where(n >= CAP_MAX, CAP_MAX, cap)
+
+
 def _cap_floor(limit: int) -> int:
     """Largest allowed capacity bucket <= limit (>= CAP_MIN)."""
     limit = max(int(limit), CAP_MIN)
@@ -186,8 +201,11 @@ class PositionBitmapServing:
         if qc._bitmaps is not None:
             idx = {int(r): j for j, r in enumerate(qc.hit_rows)}
             n = qc._n_kmers
+            bmq = qc._bitmaps
+            if bmq.dtype != np.bool_:  # legacy uint8 0/1 bitmaps
+                bmq = bmq.view(np.bool_)
             out = {
-                int(h): qc._bitmaps[idx[int(h)], :n].astype(bool)
+                int(h): bmq[idx[int(h)], :n]
                 for h in hit_rows
                 if int(h) in idx
             }
@@ -431,6 +449,7 @@ class SearchEngine(PositionBitmapServing):
                             hot_h[:B_real] == 0)).tolist()
         totals_l = totals_h.tolist()  # plain ints: the segment loop below
         hot_l = (hot_h > 0).tolist()  # touches every query once in Python
+        caps_l = np.minimum(_cap_bucket_vec(totals_h), limit_g).tolist()
         normal: List[int] = []
         chunks: List[tuple] = []  # (rows, G_c, cap_c, hot)
         heavy: List[int] = []
@@ -463,7 +482,7 @@ class SearchEngine(PositionBitmapServing):
         while i0 < len(normal):
             q0 = normal[i0]
             hot0 = self.hot_starts is not None and hot_l[q0]
-            cap_c = cap_pin or min(_cap_bucket(totals_l[q0]), limit_g)
+            cap_c = cap_pin or caps_l[q0]
             i1 = i0 + 1
             while i1 < len(normal):
                 q = normal[i1]
@@ -475,8 +494,7 @@ class SearchEngine(PositionBitmapServing):
                 # than another dispatch (and another compiled shape) per
                 # fine cap bucket
                 if not cap_pin:
-                    cq = min(_cap_bucket(totals_l[q]), limit_g)
-                    if cq != cap_c and totals_l[q] * 2 < cap_c:
+                    if caps_l[q] != cap_c and totals_l[q] * 2 < cap_c:
                         break
                 i1 += 1
             seg = normal[i0:i1]
@@ -529,8 +547,10 @@ class SearchEngine(PositionBitmapServing):
             bm = None
             if pos_dev:
                 bm = np.unpackbits(self._jax.device_get(outs2[2]), axis=-1,
-                                   bitorder="little")
-            ms = (ch > 0).sum(axis=1)  # one vectorized pass, not per query
+                                   bitorder="little").view(np.bool_)
+            # one vectorized pass, then plain ints (numpy-scalar slice
+            # bounds cost ~3x an int at 30k queries/s)
+            ms = (ch > 0).sum(axis=1).tolist()
             for j, i in enumerate(rows):
                 if i >= B_real:  # identity groups include padding rows
                     continue

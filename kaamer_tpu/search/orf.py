@@ -136,15 +136,19 @@ def get_orfs_batch(seqs: List[str], gcode_id: int = 11):
     return result
 
 
-def get_orf_tuples_batch(seqs: List[str], gcode_id: int = 11):
+def get_orf_tuples_batch(seqs: List[str], gcode_id: int = 11,
+                         min_kmers: int = 0):
     """Lightweight variant of get_orfs_batch for the serving pipelines:
     returns, per input sequence, a list of tuples
-    (Sequence, StartPosition, EndPosition, PlusStrand, StartsAlternative)
-    WITHOUT constructing ORF/Location objects -- object construction
-    measured ~7x the raw native scan cost at fastq rates, and most ORFs are
-    discarded by the MinKMatch gate before their objects would ever be
-    needed.  Falls back to the Python scanner when the native library is
-    unavailable."""
+    (Sequence, n_kmers, StartPosition, EndPosition, PlusStrand,
+    StartsAlternative) WITHOUT constructing ORF/Location objects -- object
+    construction measured ~7x the raw native scan cost at fastq rates, and
+    most ORFs are discarded by the MinKMatch gate before their objects would
+    ever be needed.  n_kmers counts searchable k-mers (a trailing '*' is not
+    searchable); ORFs with n_kmers < min_kmers are dropped BEFORE any Python
+    string is built for them (the gate is vectorized; ~40% of scanned ORFs
+    fail it on short reads).  Falls back to the Python scanner when the
+    native library is unavailable."""
     from .. import native
 
     arrays = translation_arrays(gcode_id)
@@ -158,22 +162,41 @@ def get_orf_tuples_batch(seqs: List[str], gcode_id: int = 11):
         out = native.get_orfs_raw(dna_buf, dna_off, arrays.aa, arrays.start,
                                   arrays.stop)
     if out is None:
-        return [
-            [(o.Sequence, o.Location.StartPosition, o.Location.EndPosition,
-              o.Location.PlusStrand, o.Location.StartsAlternative)
-             for o in _get_orfs_py(s, gcode_id)]
-            for s in seqs
-        ]
+        result = []
+        for s in seqs:
+            items = []
+            for o in _get_orfs_py(s, gcode_id):
+                n = len(o.Sequence) - KMER_SIZE + 1
+                if o.Sequence.endswith("*"):
+                    n -= 1
+                if n >= min_kmers:
+                    items.append((o.Sequence, n, o.Location.StartPosition,
+                                  o.Location.EndPosition,
+                                  o.Location.PlusStrand,
+                                  o.Location.StartsAlternative))
+            result.append(items)
+        return result
     seq_buf, seq_off, meta, alts_buf, alts_off = out
     result = [[] for _ in seqs]
+    slens = np.diff(seq_off)
+    star = np.zeros(slens.shape, dtype=bool)
+    nz = slens > 0
+    star[nz] = seq_buf[seq_off[1:][nz] - 1] == ord("*")
+    nk = slens - (KMER_SIZE - 1) - star
+    kept = np.flatnonzero(nk >= min_kmers).tolist()
+    if not kept:
+        return result
     all_seq = seq_buf.tobytes().decode("latin-1")
     seq_off_l = seq_off.tolist()
     alts_l = alts_buf.tolist()
     alts_off_l = alts_off.tolist()
-    for k, (r, sp, ep, plus) in enumerate(meta.tolist()):
+    meta_l = meta.tolist()
+    nk_l = nk.tolist()
+    for k in kept:
+        r, sp, ep, plus = meta_l[k]
         result[r].append((
-            all_seq[seq_off_l[k]:seq_off_l[k + 1]], sp, ep, bool(plus),
-            alts_l[alts_off_l[k]:alts_off_l[k + 1]],
+            all_seq[seq_off_l[k]:seq_off_l[k + 1]], nk_l[k], sp, ep,
+            bool(plus), alts_l[alts_off_l[k]:alts_off_l[k + 1]],
         ))
     return result
 
@@ -266,7 +289,9 @@ def set_best_start_codon(query, hits, position_hits) -> None:
             best_hits.append(hid)
 
     alts = query.Location.StartsAlternative
-    if len(alts) < 1:
+    if len(alts) <= 1:
+        # with a single alternative, best_start can only equal first_start
+        # (the scan below never moves past alts[0]); skip the bitmap work
         return
 
     first_start = alts[0]

@@ -62,10 +62,16 @@ def run_search(engine: SearchEngine, opts: SearchOptions,
     else:
         yield fmt.json_prologue(opts, db_stats).encode()
 
+    results = iter_query_results(engine, opts, cancel=cancel)
+    if opts.Align:
+        # accumulate (query, subject) pairs ACROSS queries so the Pallas
+        # wavefront kernel sees real batches (a single result has at most
+        # MaxResults pairs; dribbles pay per-dispatch cost or fall back to
+        # the host DP) -- result order is preserved
+        results = _aligned_results(engine, results, opts)
+
     first = True
-    for qr in iter_query_results(engine, opts, cancel=cancel):
-        if opts.Align:
-            _align_hits(engine, qr, opts)
+    for qr in results:
         if opts.OutFormat == "json":
             data = fmt.json_result(qr, opts.Align).encode()
             if not first:
@@ -74,8 +80,11 @@ def run_search(engine: SearchEngine, opts: SearchOptions,
                 yield data
             first = False
         else:
-            for row in fmt.tsv_rows(qr, opts, db_stats):
-                yield row.encode()
+            rows = fmt.tsv_rows(qr, opts, db_stats)
+            if rows:
+                # one chunk per query result: per-row yields cost three
+                # generator hops each at read-search rates (65k rows/run)
+                yield "".join(rows).encode()
 
     if opts.OutFormat == "json":
         yield fmt.JSON_EPILOGUE.encode()
@@ -188,10 +197,9 @@ def _build_result(
     need_positions: bool,
 ) -> QueryResult:
     ext_ids = np.asarray(engine.art.protein_ids)
-    hits = [
-        Hit(Key=int(ext_ids[int(r)]), Kmatch=int(c))
-        for r, c in zip(qc.hit_rows, qc.counts)
-    ]
+    keys = ext_ids[np.asarray(qc.hit_rows).astype(np.int64)].tolist()
+    hits = [Hit(Key=key, Kmatch=km)
+            for key, km in zip(keys, np.asarray(qc.counts).tolist())]
     qr = QueryResult(Query=q, Hits=hits, PositionHits={}, HitEntries={})
     fmt.filter_results(qr, opts)
     if not qr.Hits:
@@ -260,15 +268,12 @@ def nucleotide_search(
         pending = []
 
         def emit(pending):
+            # min_kmers=1: unsearchable ORFs are gated vectorized inside the
+            # scanner, before any Python string is built for them
             batch = get_orf_tuples_batch([r.Sequence for r in pending],
-                                         opts.GeneticCode)
+                                         opts.GeneticCode, min_kmers=1)
             for rec, orfs in zip(pending, batch):
-                for seq, sp, ep, plus, alts in orfs:
-                    n = len(seq) - KMER_SIZE + 1
-                    if seq.endswith("*"):
-                        n -= 1
-                    if n < 1:
-                        continue
+                for seq, n, sp, ep, plus, alts in orfs:
                     yield (seq, n, rec, sp, ep, plus, alts)
 
         for rec in records:
@@ -283,6 +288,14 @@ def nucleotide_search(
 
     k = max(opts.MaxResults, 1)
     from operator import itemgetter
+
+    # When the caller never reads position bitmaps (tsv without -positions;
+    # they print as N/A), the only consumer is set_best_start_codon, which
+    # reads ONLY the top-tie hits' bitmaps -- so skip materializing the
+    # per-hit bitmap dict for the other hits (each entry is a slice + dict
+    # insert, ~25% of read-search finalization time).  JSON output and
+    # -positions serialize PositionHits and take the full dict.
+    lean_positions = opts.OutFormat != "json" and not opts.ExtractPositions
 
     for batch, counts in _pipelined(engine,
                                     _batched(orf_items(),
@@ -313,35 +326,52 @@ def nucleotide_search(
             # list), so trim BEFORE building Hit objects and bitmaps --
             # most of the per-ORF host cost scales with the hit count
             m = int((qc.counts >= opts.MinKMatch).sum())
-            hits = [
-                Hit(Key=int(ext_ids[int(r)]), Kmatch=int(c))
-                for r, c in zip(qc.hit_rows[:m], qc.counts[:m])
-            ]
+            keys = ext_ids[qc.hit_rows[:m]].tolist()
+            kms = qc.counts[:m].tolist()
+            hits = [Hit(Key=key, Kmatch=km) for key, km in zip(keys, kms)]
             # Positions are always extracted for translated queries
             # (search.go:416); compute them for every reported hit candidate.
             # Bitmaps stay numpy bool arrays end to end (argmax start-codon
             # scan, vectorized run formatting, tolist only at JSON time).
-            rows = [int(r) for r in qc.hit_rows[:m]]
-            bitmaps_rows = engine.position_bitmaps_np(qc, rows)
-            position_hits = {
-                int(ext_ids[r]): bm for r, bm in bitmaps_rows.items()
-            }
+            if qc._bitmaps is not None:
+                # device bitmaps are prefix-aligned with hit_rows: row j of
+                # the [k, L] bool array IS hit_rows[j]'s bitmap
+                bmq = qc._bitmaps
+                if lean_positions:
+                    t = 1  # ties at the top count (counts are desc)
+                    while t < len(kms) and kms[t] == kms[0]:
+                        t += 1
+                    position_hits = {key: bmq[j, :n]
+                                     for j, key in enumerate(keys[:t])}
+                else:
+                    position_hits = {key: bmq[j, :n]
+                                     for j, key in enumerate(keys)}
+            else:  # host-fallback queries carry no device bitmaps
+                rows = [int(r) for r in qc.hit_rows[:m]]
+                bitmaps_rows = engine.position_bitmaps_np(qc, rows)
+                position_hits = {
+                    int(ext_ids[r]): bm for r, bm in bitmaps_rows.items()
+                }
 
             qr = QueryResult(Query=q, Hits=hits,
                              PositionHits=position_hits, HitEntries={})
-            set_best_start_codon(
-                qr.Query,
-                [(h.Key, h.Kmatch) for h in qr.Hits],
-                qr.PositionHits,
-            )
+            if len(alts) > 1:  # with <=1 alternative it provably no-ops
+                set_best_start_codon(
+                    qr.Query,
+                    list(zip(keys, kms)),
+                    qr.PositionHits,
+                )
             fmt.filter_results(qr, opts)
             if qr.Hits:
-                # drop bitmaps of proteins outside the kept hit list (the
-                # reference deletes them in FilterResults)
-                kept = {h.Key for h in qr.Hits}
-                qr.PositionHits = {
-                    k: v for k, v in qr.PositionHits.items() if k in kept
-                }
+                if lean_positions:
+                    qr.PositionHits = {}
+                else:
+                    # drop bitmaps of proteins outside the kept hit list
+                    # (the reference deletes them in FilterResults)
+                    kept = {h.Key for h in qr.Hits}
+                    qr.PositionHits = {
+                        k: v for k, v in qr.PositionHits.items() if k in kept
+                    }
                 _fetch_entries(engine, qr)
                 yield qr
 
@@ -351,23 +381,53 @@ def nucleotide_search(
 # ---------------------------------------------------------------------------
 
 
-def _align_hits(engine: SearchEngine, qr: QueryResult, opts: SearchOptions) -> None:
-    """QueryResultHandler's alignment step (search.go:483-494): align every
-    kept hit (batched through the Pallas wavefront kernel when it pays off),
-    then re-sort by bit score descending."""
+ALIGN_FLUSH_PAIRS = 256
+
+
+def _aligned_results(engine: SearchEngine, results, opts: SearchOptions,
+                     flush_pairs: int = ALIGN_FLUSH_PAIRS):
+    """QueryResultHandler's alignment step (search.go:483-494) batched
+    ACROSS the result stream: buffer results until `flush_pairs`
+    (query, subject) pairs accumulate, align them in one Pallas wavefront
+    batch, re-sort each result's hits by bit score desc, and emit the
+    buffered results in their original order."""
+    buf: List[QueryResult] = []
+    n_pairs = 0
+    for qr in results:
+        buf.append(qr)
+        n_pairs += sum(1 for h in qr.Hits if h.Key in qr.HitEntries)
+        if n_pairs >= flush_pairs:
+            yield from _align_flush(engine, buf, opts)
+            buf, n_pairs = [], 0
+    if buf:
+        yield from _align_flush(engine, buf, opts)
+
+
+def _align_flush(engine: SearchEngine, buf: List[QueryResult],
+                 opts: SearchOptions):
     from ..ops import swalign
 
-    hits = [h for h in qr.Hits if h.Key in qr.HitEntries]
-    if not hits:
-        return
-    pairs = [(qr.Query.Sequence, qr.HitEntries[h.Key].Sequence) for h in hits]
-    try:
-        results = swalign.align_batch(
-            pairs, engine.art.stats,
-            opts.SubMatrix, opts.GapOpen, opts.GapExtend,
-        )
-    except swalign.NoMatrixError:
-        return
-    for h, res in zip(hits, results):
-        h.Alignment = res
-    qr.Hits.sort(key=lambda h: -h.Alignment.BitScore)
+    pairs = []
+    hit_refs = []
+    for qr in buf:
+        for h in qr.Hits:
+            if h.Key in qr.HitEntries:
+                pairs.append((qr.Query.Sequence,
+                              qr.HitEntries[h.Key].Sequence))
+                hit_refs.append(h)
+    if pairs:
+        try:
+            results = swalign.align_batch(
+                pairs, engine.art.stats,
+                opts.SubMatrix, opts.GapOpen, opts.GapExtend,
+            )
+            for h, res in zip(hit_refs, results):
+                h.Alignment = res
+        except swalign.NoMatrixError:
+            pass  # hits keep zero alignments (reference's untouched struct)
+    for qr in buf:
+        # hits without a DB entry keep Alignment=None (zero BitScore); the
+        # sort is stable, so zero-score hits keep their kmatch order
+        qr.Hits.sort(key=lambda h: -h.Alignment.BitScore if h.Alignment
+                     else 0.0)
+        yield qr

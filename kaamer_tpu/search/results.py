@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 from ..records import KStats, Protein
@@ -35,7 +35,7 @@ from .options import PROTEIN, SearchOptions
 KMER_SIZE = 7
 
 
-@dataclass
+@dataclass(slots=True)
 class AlignmentResult:
     """Mirrors reference align.AlignmentResult (align/align.go:17-31)."""
 
@@ -78,14 +78,21 @@ def _jsnum(x: float):
     return x
 
 
-@dataclass
+@dataclass(slots=True)
 class Hit:
     Key: int  # external protein id
     Kmatch: int
-    Alignment: AlignmentResult = field(default_factory=AlignmentResult)
+    # lazy: None until -aln fills it (a zero AlignmentResult is 13 fields;
+    # constructing one per Hit measured ~10% of read-search host time).
+    # Formatters substitute _ZERO_ALIGNMENT, matching the reference's
+    # embedded zero struct when alignment is off.
+    Alignment: Optional[AlignmentResult] = None
 
 
-@dataclass
+_ZERO_ALIGNMENT = AlignmentResult()
+
+
+@dataclass(slots=True)
 class QueryResult:
     Query: QueryRecord
     Hits: List[Hit]
@@ -171,45 +178,60 @@ def _f32_pct(kmatch: int, size: int) -> str:
     return v
 
 
+_EMPTY_PROTEIN = Protein()
+
+
 def tsv_rows(qr: QueryResult, opts: SearchOptions, db_stats: KStats) -> List[str]:
+    """One formatted line per hit.  Read search emits tens of rows per read
+    at >10k reads/s, so the no-align branch is a single f-string per row
+    with the per-query constants hoisted (same bytes as the reference
+    writer, search.go:497-607)."""
+    q = qr.Query
+    qname = q.Name.split(" ", 1)[0]
+    entries = qr.HitEntries
+    feats = db_stats.Features if opts.Annotations else ()
     rows = []
-    qname = qr.Query.Name.split(" ")[0]
+    if not opts.Align:
+        size = q.SizeInKmer
+        sp, ep = q.Location.StartPosition, q.Location.EndPosition
+        positions = opts.ExtractPositions
+        pos_hits = qr.PositionHits
+        for h in qr.Hits:
+            prot = entries.get(h.Key, _EMPTY_PROTEIN)
+            if positions:
+                pos_string = format_positions(pos_hits.get(h.Key, ()), False)
+                gap = pos_string.count(",")
+            else:
+                gap = "N/A"
+            send = prot.Length if opts.Annotations else "N/A"
+            row = (f"{qname}\t{prot.EntryId}\t{_f32_pct(h.Kmatch, size)}\t"
+                   f"{size}\t{h.Kmatch}\t{gap}\t{sp}\t{ep}\t1\t{send}")
+            # ("1": subject always starts at 1 in k-mer mode)
+            if positions:
+                row += "\t" + pos_string
+            for annotation in feats:
+                row += "\t" + prot.Features.get(annotation, "")
+            rows.append(row + "\n")
+        return rows
     for h in qr.Hits:
-        prot = qr.HitEntries.get(h.Key, Protein())
-        if not opts.Align:
-            out = [qname, prot.EntryId, _f32_pct(h.Kmatch, qr.Query.SizeInKmer),
-                   str(qr.Query.SizeInKmer), str(h.Kmatch)]
-            if opts.ExtractPositions:
-                pos_string = format_positions(qr.PositionHits.get(h.Key, []), False)
-                out.append(str(pos_string.count(",")))
-            else:
-                pos_string = ""
-                out.append("N/A")
-            out.append(str(qr.Query.Location.StartPosition))
-            out.append(str(qr.Query.Location.EndPosition))
-            out.append("1")  # subject always starts at 1 in k-mer mode
-            out.append(str(prot.Length) if opts.Annotations else "N/A")
-            if opts.ExtractPositions:
-                out.append(pos_string)
+        prot = entries.get(h.Key, _EMPTY_PROTEIN)
+        a = h.Alignment or _ZERO_ALIGNMENT
+        out = [qname, prot.EntryId, f"{a.Identity:.2f}", str(a.Length),
+               str(a.Mismatches), str(a.GapOpenings)]
+        if opts.SequenceType != PROTEIN:
+            out.append(str(q.Location.StartPosition))
+            out.append(str(q.Location.EndPosition))
         else:
-            a = h.Alignment
-            out = [qname, prot.EntryId, f"{a.Identity:.2f}", str(a.Length),
-                   str(a.Mismatches), str(a.GapOpenings)]
-            if opts.SequenceType != PROTEIN:
-                out.append(str(qr.Query.Location.StartPosition))
-                out.append(str(qr.Query.Location.EndPosition))
-            else:
-                out.append(str(a.QueryStart))
-                out.append(str(a.QueryEnd))
-            out.append(str(a.SubjectStart))
-            out.append(str(a.SubjectEnd))
-            out.append(f"{a.EValue:e}")
-            out.append(f"{a.BitScore:.2f}")
-            if opts.ExtractPositions:
-                out.append(format_positions(qr.PositionHits.get(h.Key, []), True))
-        if opts.Annotations:
-            for annotation in db_stats.Features:
-                out.append(prot.Features.get(annotation, ""))
+            out.append(str(a.QueryStart))
+            out.append(str(a.QueryEnd))
+        out.append(str(a.SubjectStart))
+        out.append(str(a.SubjectEnd))
+        out.append(f"{a.EValue:e}")
+        out.append(f"{a.BitScore:.2f}")
+        if opts.ExtractPositions:
+            out.append(format_positions(qr.PositionHits.get(h.Key, []), True))
+        for annotation in feats:
+            out.append(prot.Features.get(annotation, ""))
         rows.append("\t".join(out) + "\n")
     return rows
 
@@ -242,7 +264,7 @@ def json_result(qr: QueryResult, include_alignment: bool) -> str:
                 {
                     "Key": h.Key,
                     "Kmatch": h.Kmatch,
-                    "Alignment": h.Alignment.to_json_obj(),
+                    "Alignment": (h.Alignment or _ZERO_ALIGNMENT).to_json_obj(),
                 }
                 for h in qr.Hits
             ],

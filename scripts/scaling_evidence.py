@@ -1,0 +1,159 @@
+"""Shard-invariant scaling evidence on a virtual CPU mesh (SCALING_r03).
+
+Wall-clock on N virtual CPU devices sharing 2 host cores says nothing about
+real multi-chip scaling (it measures core contention), so this script
+reports the quantities that ARE meaningful on a virtual mesh and determine
+scaling on real hardware:
+
+- exactness: per-query SUM over shards of shard-local deduplicated cold
+  expansion volumes vs the single-chip deduplicated volume (set-identity
+  sharding keeps k-mer runs whole on their owner shard, so these are equal
+  -- k-mer-identity sharding would inflate the sum by ~the mean run length);
+- balance: tsum / (n_shards * tmax) per query -- the fraction of perfect
+  per-device load balance the heaviest shard permits (1.0 = ideal), plus
+  the static postings-size balance across shards;
+- interconnect: bytes through the all_to_all hit merge per query (each
+  shard contributes cap rows + cap int32 weights per query; the merge is
+  O(n_shards * cap) per query regardless of database size), taken from the
+  group caps the scheduler actually dispatched.
+
+Usage: python scripts/scaling_evidence.py  (CPU, 8 virtual devices)
+Writes SCALING_r03.json at the repo root.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+
+N_PROTEINS = 4000
+N_QUERIES = 512
+AA = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+
+
+def build_db(tmp):
+    import bench
+
+    path = os.path.join(tmp, "scaledb")
+    bench.build_skewed_db(path, N_PROTEINS)
+    from kaamer_tpu.index.artifact import load_db
+
+    return load_db(path)
+
+
+def main():
+    import tempfile
+
+    from kaamer_tpu.parallel.dist import ShardedSearchEngine, global_mesh
+    from kaamer_tpu.search.engine import SearchEngine
+
+    out = {
+        "what": (
+            "shard-invariant scaling evidence on an 8-virtual-CPU-device "
+            "mesh (wall-clock on shared cores is meaningless; these "
+            "quantities are what determine scaling on real chips)"
+        ),
+        "db": {"n_proteins": N_PROTEINS, "kind": "domain-skewed synthetic"},
+        "n_queries": N_QUERIES,
+        "shards": {},
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        art = build_db(tmp)
+        rng = np.random.default_rng(5)
+        rows = rng.integers(0, art.num_proteins, size=N_QUERIES)
+        queries = []
+        for r in rows:
+            s = art.sequence(int(r))
+            queries.append(s[: min(len(s), 256)])
+        sizes = [len(q) - 6 for q in queries]
+
+        # single-chip reference: exact deduplicated expansion volume/query
+        single = SearchEngine(art, hot=False)
+        h = single.dispatch_batch(queries, sizes, k=8)
+        single_totals = np.asarray(h[0][5])[:N_QUERIES].astype(np.int64)
+        single.resolve_batch(h)
+        want = single.count_batch(queries, sizes, k=8)
+        out["single_chip"] = {
+            "dedup_expansion_rows_per_query_mean": round(
+                float(single_totals.mean()), 1),
+            "dedup_expansion_rows_per_query_p99": int(
+                np.percentile(single_totals, 99)),
+        }
+
+        for n_shards in (2, 4, 8):
+            eng = ShardedSearchEngine(art, mesh=global_mesh(n_shards))
+
+            # record the (G, cap) pairs phase 2 actually dispatches
+            dispatched = []
+            orig = eng._dispatch_group
+
+            def spy(wire, n_np, rows_g, G, cap, k_full, L, positions, hot,
+                    identity=False, _orig=orig, _d=dispatched):
+                _d.append((len(rows_g), G, cap, hot))
+                return _orig(wire, n_np, rows_g, G, cap, k_full, L,
+                             positions, hot, identity=identity)
+
+            eng._dispatch_group = spy
+            hs = eng.dispatch_batch(queries, sizes, k=8)
+            tmax = np.asarray(hs[0][0])[:N_QUERIES].astype(np.int64)
+            tsum = np.asarray(hs[0][1])[:N_QUERIES].astype(np.int64)
+            got = eng.resolve_batch(hs)
+            eng._dispatch_group = orig
+
+            identical = all(
+                np.array_equal(qw.hit_rows, qg.hit_rows)
+                and np.array_equal(qw.counts, qg.counts)
+                for qw, qg in zip(want, got))
+
+            nz = single_totals > 0
+            balance = tsum[nz] / (n_shards * np.maximum(tmax[nz], 1))
+            # all_to_all payload: per query in a (G, cap) group each shard
+            # contributes cap uint32 rows + cap int32 weights
+            a2a_bytes = sum(nrows * cap * 8 * n_shards
+                            for nrows, _, cap, _ in dispatched)
+            post_sizes = np.asarray(eng.sharded.postings_sizes, np.int64)
+
+            out["shards"][str(n_shards)] = {
+                "expansion_volume_equals_single_chip": bool(
+                    np.array_equal(tsum, single_totals)),
+                "results_bit_identical": bool(identical),
+                "per_device_expansion_rows_per_query_mean": round(
+                    float((tsum / n_shards).mean()), 1),
+                "load_balance_tsum_over_n_tmax_mean": round(
+                    float(balance.mean()), 3),
+                "all_to_all_bytes_per_query": round(a2a_bytes / N_QUERIES, 1),
+                "postings_rows_per_shard": post_sizes.tolist(),
+                "postings_balance_max_over_mean": round(
+                    float(post_sizes.max() / max(post_sizes.mean(), 1)), 3),
+                "phase2_groups": len(dispatched),
+            }
+            print(f"# n_shards={n_shards}: "
+                  f"{out['shards'][str(n_shards)]}", file=sys.stderr)
+
+    out["read_as"] = (
+        "expansion volume per query is shard-count-invariant (equal to the "
+        "single-chip deduplicated volume) and divides by n_shards per "
+        "device; the all_to_all merge payload is O(n_shards * cap) bytes "
+        "per query independent of database size, so it rides ICI at "
+        "per-query-KB scale; load balance is bounded by the heaviest "
+        "shard's share (tsum / n*tmax)"
+    )
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING_r03.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
