@@ -38,7 +38,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..search.engine import (HOT_DENSE_BYTES, MAX_EXPANSION_ELEMS, TOPK_MIN,
+from ..search.engine import (HOT_DENSE_BYTES, MAX_EXPANSION_ELEMS,
+                             SMALL_CAP_COALESCE, TOPK_MIN,
                              PositionBitmapServing, QueryCounts, _cap_bucket,
                              _cap_floor, _next_pow2, _positions_on_device)
 
@@ -423,7 +424,9 @@ class ShardedSearchEngine(PositionBitmapServing):
                 if (self.hot_starts is not None
                         and hot_l[q] != hot0) and not cap_pin:
                     break
-                if not cap_pin:
+                # below SMALL_CAP_COALESCE the whole tail joins the segment
+                # (padding beats dispatch count; see the single-chip rule)
+                if not cap_pin and cap_c > SMALL_CAP_COALESCE:
                     if caps_l[q] != cap_c and totals_l[q] * 2 < cap_c:
                         break
                 i1 += 1
@@ -433,9 +436,12 @@ class ShardedSearchEngine(PositionBitmapServing):
             c0 = 0
             while c0 < len(seg):
                 rem = len(seg) - c0
-                G_c = groups[0]
-                for g in reversed(groups):
-                    if rem > g // 2:
+                # tail rounds UP to the next quantized width: one padded
+                # dispatch beats several exact ones (see the single-chip
+                # scheduler's identical rule)
+                G_c = groups[-1]
+                for g in groups:
+                    if rem <= g:
                         G_c = g
                         break
                 take = min(rem, G_c)

@@ -83,8 +83,17 @@ MAX_EXPANSION_ELEMS = 1 << 24
 # Dense hot-path budget: a hot group's phase 2 materializes counts_hot
 # f32[G, P_pad] plus a [G, L, H] one-hot indicator (ops/hotset.py), neither
 # of which the cold G*cap budget tracks -- without this cap a hot group at
-# G=2048, P_pad=2^18 is a 2 GB intermediate (HBM exhaustion on v5e).
-HOT_DENSE_BYTES = 1 << 28
+# G=2048, P_pad=2^20 is a multi-GB intermediate (HBM exhaustion on v5e).
+# 1 GB (of 16 GB v5e HBM; the index itself is small) lets skewed batches
+# run hot groups at G=1024-2048 instead of 256 -- each extra dispatch costs
+# ~0.5-1 ms of host/tunnel time, the dominant phase-2 cost after grouping.
+HOT_DENSE_BYTES = 1 << 30
+
+
+# Cap threshold below which the scheduler coalesces ALL smaller-cap
+# queries (of the same hotness) into one segment instead of splitting per
+# fine cap bucket: under it, dispatch count dominates expansion padding.
+SMALL_CAP_COALESCE = 256
 
 
 def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
@@ -492,8 +501,11 @@ class SearchEngine(PositionBitmapServing):
                 # queries within 2x of the segment head's cap (or in its
                 # bucket) join it: the bounded expansion waste is cheaper
                 # than another dispatch (and another compiled shape) per
-                # fine cap bucket
-                if not cap_pin:
+                # fine cap bucket.  Below SMALL_CAP_COALESCE the whole tail
+                # joins: a fully padded group is <=G*256 expansion elements
+                # (~2 MB, trivial device time) while each extra dispatch
+                # costs ~0.5-1 ms of host/tunnel time
+                if not cap_pin and cap_c > SMALL_CAP_COALESCE:
                     if caps_l[q] != cap_c and totals_l[q] * 2 < cap_c:
                         break
                 i1 += 1
@@ -508,12 +520,20 @@ class SearchEngine(PositionBitmapServing):
                 # the dense hot path's [G, P_pad] / [G, L, H] intermediates
                 # are budgeted separately (HOT_DENSE_BYTES)
                 g_budget = min(g_budget, self._hot_g_max(L))
+            allowed = [g for g in (16, 256, 2048)
+                       if g <= min(g_budget, B) or g == 16]
             c0 = 0
             while c0 < len(seg):
                 rem = len(seg) - c0
-                G_c = 16
-                for g in (2048, 256):
-                    if g <= min(g_budget, B) and rem > g // 2:
+                # one padded dispatch beats several exact ones: a segment
+                # tail rounds UP to the next quantized width (padding rows
+                # carry no k-mers and cost ~nothing at these caps, while
+                # each extra dispatch costs ~0.5-1 ms of host/tunnel time
+                # -- 72 groups/8k queries measured before this rule, 41 of
+                # them G=16 tails)
+                G_c = allowed[-1]
+                for g in allowed:
+                    if rem <= g:
                         G_c = g
                         break
                 take = min(rem, G_c)

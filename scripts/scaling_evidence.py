@@ -91,7 +91,11 @@ def main():
         }
 
         for n_shards in (2, 4, 8):
-            eng = ShardedSearchEngine(art, mesh=global_mesh(n_shards))
+            # hot=False on BOTH engines: phase-1 cold totals are the
+            # comparable expansion-volume metric (the hot-set dense path
+            # removes its sets from cold totals on whichever engine has it)
+            eng = ShardedSearchEngine(art, mesh=global_mesh(n_shards),
+                                      hot=False)
 
             # record the (G, cap) pairs phase 2 actually dispatches
             dispatched = []
