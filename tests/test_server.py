@@ -146,6 +146,35 @@ def test_sharded_engine_serves(server, tmp_path):
         httpd.shutdown()
 
 
+def test_shard_built_db_auto_serves_sharded(server, tmp_path):
+    """A shard-BUILT database (index_db n_shards > 1) has no global index;
+    serve() must auto-select sharded serving and answer identically."""
+    import urllib.parse  # noqa: F401
+
+    url, seqs, tmp = server
+    from kaamer_tpu.parallel.dist import ShardedSearchEngine, global_mesh
+
+    dbdir = str(tmp_path / "sdb")
+    build_db(dbdir, str(tmp / "db.fasta"), "fasta", n_shards=4)
+    art = load_db(dbdir)
+    assert art.index_shards == 4
+    engine = ShardedSearchEngine(art, mesh=global_mesh(art.index_shards))
+    handler = make_handler(engine, str(tmp_path), {})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        surl = f"http://127.0.0.1:{httpd.server_address[1]}"
+        fields = {"type": "string", "sequence": ">q\n" + seqs[7],
+                  "max-results": "3", "positions": "true"}
+        with _post_form(surl + "/api/search/protein", fields) as resp:
+            sharded_body = resp.read()
+        with _post_form(url + "/api/search/protein", fields) as resp:
+            single_body = resp.read()
+        assert sharded_body == single_body
+    finally:
+        httpd.shutdown()
+
+
 def test_missing_type_is_400(server):
     import urllib.error
 
