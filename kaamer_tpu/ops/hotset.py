@@ -42,9 +42,16 @@ ROW_SENTINEL = np.uint32(0xFFFFFFFF)
 # hot sets must be worth a dense row: below this postings length the gather
 # pipeline is cheaper than M's memory
 MIN_HOT_LEN = 24
-# dense-path budgets: M bytes (bf16) and the per-group [G, P] f32 intermediate
-M_BYTES_BUDGET = 1 << 28       # 256 MB
-P_MAX = 1 << 18                # beyond this, dense [G, P] traffic dominates
+# dense-path budgets: M bytes (bf16) and the per-group [G, P] f32
+# intermediate.  1 GB of 16 GB v5e HBM: at 1M proteins this still funds
+# H~512 hot sets, which carry the majority of a power-law postings mass --
+# WITHOUT the dense path a skewed 1M-protein DB collapses to heavy-chunk
+# expansion (measured 51 q/s vs >4k with it).  H scales down with P
+# automatically; there is deliberately NO hard P cutoff here.
+M_BYTES_BUDGET = 1 << 30
+# the sharded engine's host-side per-shard M staging still uses a P gate
+# (it materializes [n_shards, H, P] on host); see parallel/dist._init_hot
+P_MAX = 1 << 18
 
 
 def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,
@@ -58,8 +65,6 @@ def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,
     if set_offsets is None or set_offsets.size < 2:
         return None
     P_pad = -(-max(num_proteins, 1) // 128) * 128
-    if P_pad > P_MAX:
-        return None
     h_budget = int(M_BYTES_BUDGET // (P_pad * 2))
     h_max = min(h_max, h_budget)
     if h_max < 1:
@@ -109,15 +114,31 @@ def build_membership_np(postings: np.ndarray, set_offsets: np.ndarray,
 
 def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
                      hot_starts: np.ndarray, P_pad: int):
-    """build_membership_np as a device array: f32 when it fits the budget
+    """Membership matrix as a device array: f32 when it fits the budget
     (the W @ M matmul then streams it without a per-group bf16->f32
-    conversion pass), bf16 otherwise."""
-    M = build_membership_np(postings, set_offsets, hot_starts, P_pad)
+    conversion pass), bf16 otherwise (0/1 is exact in bf16; the matmul
+    upcasts to f32).
+
+    Built ON DEVICE by one scatter over the compact (hot set, protein row)
+    pairs: at 1M proteins M is ~1 GB, and shipping it over the ~30 MB/s
+    tunnel uplink would cost ~35 s of engine init, while the pairs are a
+    few MB.  (Scatter is forbidden in serving hot paths, not at init.)"""
     import jax.numpy as jnp  # local: keep module importable host-only
 
-    if M.size * 4 <= M_BYTES_BUDGET:
-        return jnp.asarray(M)
-    return jnp.asarray(M, dtype=jnp.bfloat16)
+    H = int(hot_starts.shape[0])
+    ends = set_offsets.astype(np.int64)
+    hs, rows = [], []
+    for h, s in enumerate(hot_starts.astype(np.int64)):
+        e = ends[np.searchsorted(ends, s, side="right")]
+        seg = postings[s:e]
+        hs.append(np.full(seg.size, h, dtype=np.int32))
+        rows.append(np.asarray(seg, dtype=np.int32))
+    hh = np.concatenate(hs) if hs else np.empty(0, np.int32)
+    rr = np.concatenate(rows) if rows else np.empty(0, np.int32)
+    dtype = jnp.float32 if H * P_pad * 4 <= M_BYTES_BUDGET else jnp.bfloat16
+    M = jnp.zeros((H, P_pad), dtype=dtype)
+    return M.at[jnp.asarray(hh), jnp.asarray(rr)].set(1, mode="drop",
+                                                      unique_indices=True)
 
 
 def hot_weights(offs, whot, hot_starts):

@@ -227,6 +227,14 @@ class ShardedSearchEngine(PositionBitmapServing):
         self.hot_starts = None
         self.M = self.MT = None
         P_pad = -(-max(self.art.num_proteins, 1) // 128) * 128
+        if P_pad > hotset.P_MAX:
+            # the staging below materializes [n_shards, H, P_pad] f32 on
+            # HOST; beyond P_MAX that is multi-GB -- the single-chip engine
+            # builds M by device scatter instead (hotset.build_membership);
+            # porting that here (per-shard scatter under make_array_from_
+            # callback) is the remaining step for hot-path parity at >256k
+            # proteins on the sharded engine
+            enabled = False
         sels = [
             hotset.select_hot_sets(self.sharded.set_offsets[s],
                                    self.art.num_proteins)
