@@ -220,6 +220,9 @@ class ShardedSearchEngine(PositionBitmapServing):
 
         from ..ops import hotset
 
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         n = self.n_shards
         # shards with no hot sets keep threshold 2^30 (nothing qualifies)
         # and all-zero membership rows
@@ -227,14 +230,6 @@ class ShardedSearchEngine(PositionBitmapServing):
         self.hot_starts = None
         self.M = self.MT = None
         P_pad = -(-max(self.art.num_proteins, 1) // 128) * 128
-        if P_pad > hotset.P_MAX:
-            # the staging below materializes [n_shards, H, P_pad] f32 on
-            # HOST; beyond P_MAX that is multi-GB -- the single-chip engine
-            # builds M by device scatter instead (hotset.build_membership);
-            # porting that here (per-shard scatter under make_array_from_
-            # callback) is the remaining step for hot-path parity at >256k
-            # proteins on the sharded engine
-            enabled = False
         sels = [
             hotset.select_hot_sets(self.sharded.set_offsets[s],
                                    self.art.num_proteins)
@@ -245,23 +240,48 @@ class ShardedSearchEngine(PositionBitmapServing):
             self.hot_thresh = jnp.asarray(self.hot_thresh_np)
             return
         H_max = max(s[0].shape[0] for s in sels if s is not None)
-        M = np.zeros((n, H_max, P_pad), dtype=np.float32)
         starts = np.full((n, H_max), -1, dtype=np.int32)
+        # compact (hot row, protein row) pairs per shard; each device
+        # builds ITS shard's [H_max, P_pad] block by one init-time scatter
+        # (a 1M-protein shard block is ~1 GB -- never materialized on host,
+        # mirroring hotset.build_membership on the single-chip engine)
+        pairs = []
         for s, sel in enumerate(sels):
             if sel is None:
+                pairs.append((np.empty(0, np.int32), np.empty(0, np.int32)))
                 continue
             hs, thresh, _ = sel
             self.hot_thresh_np[s] = thresh
             starts[s, : hs.shape[0]] = hs
             post_local = self._posts_local[s]
-            hotset.build_membership_np(post_local,
-                                       self.sharded.set_offsets[s], hs,
-                                       P_pad, out=M[s, : hs.shape[0]])
+            ends = self.sharded.set_offsets[s].astype(np.int64)
+            hh, rr = [], []
+            for h, st in enumerate(hs.astype(np.int64)):
+                e = ends[np.searchsorted(ends, st, side="right")]
+                seg = post_local[st:e]
+                hh.append(np.full(seg.size, h, dtype=np.int32))
+                rr.append(np.asarray(seg, dtype=np.int32))
+            pairs.append((np.concatenate(hh) if hh else np.empty(0, np.int32),
+                          np.concatenate(rr) if rr else np.empty(0, np.int32)))
+
         # per-DEVICE M is [H_max, P_pad]; f32 when it fits the budget
         dtype = (jnp.float32 if H_max * P_pad * 4 <= hotset.M_BYTES_BUDGET
                  else jnp.bfloat16)
-        self.M = jnp.asarray(M, dtype=dtype)
-        self.MT = jnp.asarray(M.transpose(0, 2, 1), dtype=jnp.bfloat16)
+        mesh_devices = np.asarray(self.mesh.devices)  # [dp, shard]
+        blocks = []
+        for dp_i in range(self.dp):
+            for s in range(n):
+                hh, rr = pairs[s]
+                with jax.default_device(mesh_devices[dp_i, s]):
+                    blk = jnp.zeros((1, H_max, P_pad), dtype=dtype)
+                    if hh.size:
+                        blk = blk.at[0, jnp.asarray(hh), jnp.asarray(rr)].set(
+                            1, mode="drop", unique_indices=True)
+                blocks.append(blk)
+        self.M = jax.make_array_from_single_device_arrays(
+            (n, H_max, P_pad),
+            NamedSharding(self.mesh, P("shard", None, None)), blocks)
+        self.MT = jnp.swapaxes(self.M, 1, 2).astype(jnp.bfloat16)
         self.hot_starts = jnp.asarray(starts)
         self.hot_thresh = jnp.asarray(self.hot_thresh_np)
 
