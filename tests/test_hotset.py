@@ -89,6 +89,38 @@ def test_select_hot_sets_drops_tie_tier():
     assert hot_starts.shape == (3,) and thresh == 50
 
 
+def test_select_hot_sets_stays_on_at_million_scale():
+    """Regression: a hard P cutoff used to switch the dense path OFF beyond
+    2^18 proteins -- the scale skew hurts most (51 q/s measured on the
+    skewed 1M bench DB without it, 458 with it).  The budget must scale H
+    down with P instead."""
+    lens = np.linspace(24, 30000, num=3000).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.uint64)
+    hot = hotset.select_hot_sets(offsets, num_proteins=1_000_000)
+    assert hot is not None
+    hot_starts, thresh, P_pad = hot
+    assert P_pad == 1_000_064
+    h_budget = hotset.M_BYTES_BUDGET // (P_pad * 2)
+    assert 0 < hot_starts.shape[0] <= h_budget
+
+
+def test_build_membership_device_scatter_matches_np():
+    """The device-scatter membership build (init-time; avoids shipping a
+    multi-GB M over the tunnel) must equal the host reference."""
+    rng = np.random.default_rng(3)
+    P_pad = 256
+    lens = np.asarray([30, 25, 40, 24])
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.uint64)
+    postings = np.concatenate([
+        np.sort(rng.choice(200, size=l, replace=False)) for l in lens
+    ]).astype(np.uint32)
+    hot_starts = offsets[:-1].astype(np.int32)
+    want = hotset.build_membership_np(postings, offsets, hot_starts, P_pad)
+    got = np.asarray(hotset.build_membership(postings, offsets, hot_starts,
+                                             P_pad))
+    assert np.array_equal(want, got.astype(np.float32))
+
+
 def test_hot_tie_tier_end_to_end(tmp_path, monkeypatch):
     """End-to-end ADVICE repro: a DB whose postings lengths tie exactly at
     the h_max cut returns oracle-exact counts (the tie tier is counted on
