@@ -190,13 +190,16 @@ def get_orf_tuples_batch(seqs: List[str], gcode_id: int = 11,
     seq_off_l = seq_off.tolist()
     alts_l = alts_buf.tolist()
     alts_off_l = alts_off.tolist()
-    meta_l = meta.tolist()
+    # column lists beat per-row meta.tolist() sublists (~35% of this loop)
+    r_l = meta[:, 0].tolist()
+    sp_l = meta[:, 1].tolist()
+    ep_l = meta[:, 2].tolist()
+    plus_l = (meta[:, 3] != 0).tolist()
     nk_l = nk.tolist()
     for k in kept:
-        r, sp, ep, plus = meta_l[k]
-        result[r].append((
-            all_seq[seq_off_l[k]:seq_off_l[k + 1]], nk_l[k], sp, ep,
-            bool(plus), alts_l[alts_off_l[k]:alts_off_l[k + 1]],
+        result[r_l[k]].append((
+            all_seq[seq_off_l[k]:seq_off_l[k + 1]], nk_l[k], sp_l[k],
+            ep_l[k], plus_l[k], alts_l[alts_off_l[k]:alts_off_l[k + 1]],
         ))
     return result
 
