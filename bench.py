@@ -328,7 +328,11 @@ def main() -> None:
         nq = {10_000: 8192, 100_000: 4096}.get(n, 2048)
         queries = make_queries(art, rng, n_queries=nq)
         note(f"db n={n}: protein qps ({nq} queries)")
-        qps = bench_protein(engine, queries, positions=False, passes=2)
+        # the headline figure gets an extra pass: single passes over the
+        # tunnel are exposed to transient link congestion (measured 40k vs
+        # 65k q/s for the same build in different tunnel windows)
+        qps = bench_protein(engine, queries, positions=False,
+                            passes=3 if n == DB_PROTEINS else 2)
         note(f"db n={n}: protein qps with positions")
         qps_pos = bench_protein(engine, queries, positions=True, passes=2)
         per_db[str(n)] = {
