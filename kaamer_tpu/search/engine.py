@@ -94,6 +94,10 @@ HOT_DENSE_BYTES = 1 << 30
 # queries (of the same hotness) into one segment instead of splitting per
 # fine cap bucket: under it, dispatch count dominates expansion padding.
 SMALL_CAP_COALESCE = 256
+# Cap threshold above which expansion-gather rows dominate a group's cost
+# (~42M gathered rows/s on big-DB postings): segments split at 1.5x instead
+# of 2x to keep padding bounded where it is the dominant cost.
+LARGE_CAP = 1 << 12
 
 
 def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
@@ -504,9 +508,17 @@ class SearchEngine(PositionBitmapServing):
                 # fine cap bucket.  Below SMALL_CAP_COALESCE the whole tail
                 # joins: a fully padded group is <=G*256 expansion elements
                 # (~2 MB, trivial device time) while each extra dispatch
-                # costs ~0.5-1 ms of host/tunnel time
+                # costs ~0.5-1 ms of host/tunnel time.  Above LARGE_CAP the
+                # trade flips -- expansion gathers dominate (~42M rows/s on
+                # big-DB postings) and padding is the cost, so segments
+                # split at 1.5x instead of 2x
                 if not cap_pin and cap_c > SMALL_CAP_COALESCE:
-                    if caps_l[q] != cap_c and totals_l[q] * 2 < cap_c:
+                    # join range: totals >= cap_c/2 normally, >= cap_c/1.5
+                    # above LARGE_CAP (x2 and x1.5 expressed over a common
+                    # denominator of 6)
+                    num = 3 if cap_c <= LARGE_CAP else 4
+                    if (caps_l[q] != cap_c
+                            and totals_l[q] * 6 < cap_c * num):
                         break
                 i1 += 1
             seg = normal[i0:i1]
