@@ -511,3 +511,41 @@ def test_expansion_budget_escalates_outliers(heavy_db, monkeypatch):
         got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
         want, _ = oracle.kmer_search(q, size)
         assert got == want[: len(got)], q[:20]
+
+
+def test_scheduler_coalesces_small_cap_tails(synth_db):
+    """Dispatch-count regression: same-hotness queries at caps below
+    SMALL_CAP_COALESCE must land in as few phase-2 groups as the {16, 256,
+    2048} quantization permits -- tails round UP to the next width instead
+    of cascading into G=16 chunks (each extra dispatch costs ~0.5-1 ms of
+    host/tunnel time in production)."""
+    art, oracle, seqs = synth_db
+    engine = SearchEngine(art, hot=False)
+    rng = np.random.default_rng(12)
+    queries = [seqs[int(rng.integers(0, len(seqs)))] for _ in range(300)]
+    sizes = [len(q) - 6 for q in queries]
+
+    calls = []
+    orig = engine._dispatch_group
+
+    def spy(outs1, rows, G, cap, k_full, L, positions, hot, identity=False):
+        calls.append((len(rows), G, cap))
+        return orig(outs1, rows, G, cap, k_full, L, positions, hot,
+                    identity=identity)
+
+    engine._dispatch_group = spy
+    res = engine.count_batch(queries, sizes, k=8)
+    engine._dispatch_group = orig
+
+    # B pads to 512 -> allowed widths {16, 256}: 300 same-class queries
+    # must dispatch as exactly ceil(300/256) = 2 groups, both at G=256
+    assert len(calls) == 2, calls
+    assert all(G == 256 for _, G, _ in calls), calls
+    assert sum(n for n, _, _ in calls) >= 300
+
+    # and results still match the oracle
+    ext = np.asarray(art.protein_ids)
+    for q, size, qc in zip(queries[:20], sizes[:20], res[:20]):
+        got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
+        want, _ = oracle.kmer_search(q, size)
+        assert got == want[: len(got)]
