@@ -38,7 +38,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..search.engine import (HOT_DENSE_BYTES, MAX_EXPANSION_ELEMS,
+from ..search.engine import (DISPATCH_COST_ROWS, HOT_DENSE_BYTES,
+                             MAX_EXPANSION_ELEMS,
                              SMALL_CAP_COALESCE, TOPK_MIN,
                              PositionBitmapServing, QueryCounts, _cap_bucket,
                              _cap_floor, _next_pow2, _positions_on_device)
@@ -461,17 +462,25 @@ class ShardedSearchEngine(PositionBitmapServing):
             seg = normal[i0:i1]
             i0 = i1
             groups = self._quantized_groups(cap_c, B, hot0, L)
+            # cost-based chunking, mirroring the single-chip scheduler: a
+            # tail rounds UP to a wider quantized group only when the
+            # padding rows it adds (cap_c gathers each, plus the dense
+            # share for hot groups) cost less than the dispatches saved
+            pad_row_cost = cap_c
+            if hot0:
+                H = int(self.hot_starts.shape[1])
+                P_pad = int(self.M.shape[2])
+                pad_row_cost += max(P_pad, L * H) // 5000
             c0 = 0
             while c0 < len(seg):
                 rem = len(seg) - c0
-                # tail rounds UP to the next quantized width: one padded
-                # dispatch beats several exact ones (see the single-chip
-                # scheduler's identical rule)
-                G_c = groups[-1]
+                G_c, best = groups[0], None
                 for g in groups:
-                    if rem <= g:
-                        G_c = g
-                        break
+                    n_chunks = -(-rem // g)
+                    score = (n_chunks * DISPATCH_COST_ROWS
+                             + (n_chunks * g - rem) * pad_row_cost)
+                    if best is None or score < best:
+                        G_c, best = g, score
                 take = min(rem, G_c)
                 chunks.append((seg[c0 : c0 + take], G_c, cap_c, hot0))
                 c0 += take

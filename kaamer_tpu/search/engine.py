@@ -98,6 +98,11 @@ SMALL_CAP_COALESCE = 256
 # (~42M gathered rows/s on big-DB postings): segments split at 1.5x instead
 # of 2x to keep padding bounded where it is the dominant cost.
 LARGE_CAP = 1 << 12
+# One phase-2 dispatch costs ~0.5-1.5 ms of host/tunnel time, worth about
+# this many gathered expansion rows (~42M rows/s): the chunker rounds a
+# segment tail UP to a wider quantized group only when the padding rows it
+# adds cost less than the dispatches it saves.
+DISPATCH_COST_ROWS = 1 << 16
 
 
 def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
@@ -534,20 +539,32 @@ class SearchEngine(PositionBitmapServing):
                 g_budget = min(g_budget, self._hot_g_max(L))
             allowed = [g for g in (16, 256, 2048)
                        if g <= min(g_budget, B) or g == 16]
+            # cost of one PADDING query-row in gather-row equivalents: its
+            # cap_c cold expansion, plus (hot groups) its share of the
+            # dense [G, P_pad]/[G, L, H] work -- dense f32 HBM streaming is
+            # ~5000x cheaper per element than a gathered row
+            pad_row_cost = cap_c
+            if hot0:
+                H = int(self.hot_starts.shape[0])
+                P_pad = int(self.M.shape[1])
+                pad_row_cost += max(P_pad, L * H) // 5000
             c0 = 0
             while c0 < len(seg):
                 rem = len(seg) - c0
-                # one padded dispatch beats several exact ones: a segment
-                # tail rounds UP to the next quantized width (padding rows
-                # carry no k-mers and cost ~nothing at these caps, while
-                # each extra dispatch costs ~0.5-1 ms of host/tunnel time
-                # -- 72 groups/8k queries measured before this rule, 41 of
-                # them G=16 tails)
-                G_c = allowed[-1]
+                # pick the quantized width minimizing dispatches + padding:
+                # at serving caps (<=512) one padded dispatch beats several
+                # exact ones (72 groups/8k queries measured without this,
+                # 41 of them G=16 tails), while at heavy caps (~64k) a
+                # 20-row tail must NOT round up to G=256 (15M padding rows
+                # cost ~0.4 s; measured 458 -> 276 q/s on the skewed 1M DB
+                # under a blanket round-up rule)
+                G_c, best = allowed[0], None
                 for g in allowed:
-                    if rem <= g:
-                        G_c = g
-                        break
+                    n_chunks = -(-rem // g)
+                    score = (n_chunks * DISPATCH_COST_ROWS
+                             + (n_chunks * g - rem) * pad_row_cost)
+                    if best is None or score < best:
+                        G_c, best = g, score
                 take = min(rem, G_c)
                 chunks.append((seg[c0 : c0 + take], G_c, cap_c, hot0))
                 c0 += take
