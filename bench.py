@@ -300,11 +300,32 @@ def main() -> None:
 
     from kaamer_tpu.search.engine import SearchEngine
 
-    sizes_env = os.environ.get("KAAMER_BENCH_SIZES", "10000,100000,1000000")
-    sizes = [int(s) for s in sizes_env.split(",") if s]
-
     def note(msg):  # progress on stderr; stdout stays one JSON line
         print(f"# {msg}", file=sys.stderr, flush=True)
+
+    # The tunnel has hour-scale congestion windows (a 4 MB transfer
+    # measured 0.5s-172s across a day); benching inside one understates
+    # the engine 1.5-10x.  Probe link health and wait (bounded) for a
+    # clear window before timing anything.
+    tunnel_4mb_s = None
+    for attempt in range(10):
+        t0 = time.perf_counter()
+        try:
+            import jax
+
+            x = jax.device_put(np.zeros(1 << 22, np.uint8))
+            np.asarray(x)
+            tunnel_4mb_s = round(time.perf_counter() - t0, 2)
+        except Exception:
+            break
+        if tunnel_4mb_s < 4.0 or os.environ.get("KAAMER_BENCH_NO_WAIT"):
+            break
+        note(f"tunnel congested (4MB in {tunnel_4mb_s}s); waiting "
+             f"({attempt + 1}/10)")
+        time.sleep(60)
+
+    sizes_env = os.environ.get("KAAMER_BENCH_SIZES", "10000,100000,1000000")
+    sizes = [int(s) for s in sizes_env.split(",") if s]
 
     per_db = {}
     skipped = []
@@ -414,6 +435,7 @@ def main() -> None:
                     "align_on_device": align_device,
                     "aln_queries_per_s": aln_e2e_qps,
                     "skipped_dbs": skipped,
+                    "tunnel_4mb_roundtrip_s": tunnel_4mb_s,
                     "batch": BATCH,
                     "query_len": QUERY_LEN,
                 },
