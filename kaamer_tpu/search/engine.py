@@ -85,8 +85,11 @@ MAX_EXPANSION_ELEMS = 1 << 24
 # of which the cold G*cap budget tracks -- without this cap a hot group at
 # G=2048, P_pad=2^20 is a multi-GB intermediate (HBM exhaustion on v5e).
 # 1 GB (of 16 GB v5e HBM; the index itself is small) lets skewed batches
-# run hot groups at G=1024-2048 instead of 256 -- each extra dispatch costs
-# ~0.5-1 ms of host/tunnel time, the dominant phase-2 cost after grouping.
+# run hot groups at G=2048 on small databases -- each extra dispatch costs
+# ~0.5-1 ms of host/tunnel time.  Raising it further measured SLOWER at
+# 100k proteins (24.2k vs 27.9k q/s): the dense cost is per-QUERY
+# (P_pad bytes of counts_hot + top-k read each), so wider groups only add
+# padding once dispatch overhead is amortized.
 HOT_DENSE_BYTES = 1 << 30
 
 
