@@ -16,24 +16,28 @@ import os
 import shutil
 
 
+def _copy_tree(src_dir: str, out_dir: str) -> None:
+    """Copy the artifact's files AND shard subdirectories (shard-built
+    indexes live under <db>/shardNN/, index/build.py)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        src = os.path.join(src_dir, name)
+        if os.path.isfile(src):
+            shutil.copy2(src, os.path.join(out_dir, name))
+        elif os.path.isdir(src):
+            _copy_tree(src, os.path.join(out_dir, name))
+
+
 def backup_db(db_path: str, out_path: str) -> None:
     if not os.path.exists(os.path.join(db_path, "meta.json")):
         raise ValueError(f"{db_path} is not a kaamer-tpu database")
-    os.makedirs(out_path, exist_ok=True)
-    for name in os.listdir(db_path):
-        src = os.path.join(db_path, name)
-        if os.path.isfile(src):
-            shutil.copy2(src, os.path.join(out_path, name))
+    _copy_tree(db_path, out_path)
 
 
 def restore_db(backup_path: str, out_path: str) -> None:
     if not os.path.exists(os.path.join(backup_path, "meta.json")):
         raise ValueError(f"{backup_path} is not a kaamer-tpu backup")
-    os.makedirs(out_path, exist_ok=True)
-    for name in os.listdir(backup_path):
-        src = os.path.join(backup_path, name)
-        if os.path.isfile(src):
-            shutil.copy2(src, os.path.join(out_path, name))
+    _copy_tree(backup_path, out_path)
     # validate the restored artifact loads
     from . import artifact
 

@@ -91,3 +91,37 @@ def test_backup_restore_roundtrip(split_and_whole, tmp_path):
     np.testing.assert_array_equal(np.asarray(a.postings), np.asarray(b.postings))
     assert a.stats == b.stats
     assert gc_db(rst) == 0
+
+
+def test_backup_restore_shard_built(tmp_path):
+    """Shard-built artifacts keep their index under <db>/shardNN/; backup
+    and restore must carry the subdirectories (a file-only copy silently
+    dropped the entire index)."""
+    import numpy as np
+
+    from kaamer_tpu.index.backup import backup_db, restore_db
+    from kaamer_tpu.index.build import build_db
+    from kaamer_tpu.index.artifact import load_db
+
+    rng = np.random.default_rng(4)
+    AA = list("ACDEFGHIKLMNPQRSTVWY")
+    fasta = tmp_path / "in.fasta"
+    with open(fasta, "w") as f:
+        for i in range(40):
+            s = "".join(rng.choice(AA, size=int(rng.integers(40, 90))))
+            f.write(f">B{i} x\n{s}\n")
+    dbdir = str(tmp_path / "db")
+    build_db(dbdir, str(fasta), "fasta", n_shards=4)
+
+    bdir = str(tmp_path / "bak")
+    rdir = str(tmp_path / "restored")
+    backup_db(dbdir, bdir)
+    restore_db(bdir, rdir)
+    art = load_db(rdir)
+    assert art.index_shards == 4
+    src = load_db(dbdir)
+    for s in range(4):
+        assert np.array_equal(np.asarray(src.shard_postings[s]),
+                              np.asarray(art.shard_postings[s]))
+        assert np.array_equal(np.asarray(src.shard_tables[s]),
+                              np.asarray(art.shard_tables[s]))
