@@ -42,7 +42,8 @@ from ..search.engine import (DISPATCH_COST_ROWS, HOT_DENSE_BYTES,
                              MAX_EXPANSION_ELEMS,
                              SMALL_CAP_COALESCE, TOPK_MIN,
                              PositionBitmapServing, QueryCounts, _cap_bucket,
-                             _cap_floor, _next_pow2, _positions_on_device)
+                             _cap_floor, _finalize_pending, _next_pow2,
+                             _positions_on_device)
 
 KMER_SIZE = 7
 
@@ -319,8 +320,8 @@ class ShardedSearchEngine(PositionBitmapServing):
         return self.resolve_batch(self.dispatch_batch(seqs, sizes, k,
                                                       positions=positions))
 
-    def resolve_batch(self, handle):
-        return self.collect_batch(self.schedule_batch(handle))
+    def resolve_batch(self, handle, min_top: int = 0):
+        return self.collect_batch(self.schedule_batch(handle), min_top)
 
     def _pack(self, padded, width):
         from .. import codec, native
@@ -499,29 +500,12 @@ class ShardedSearchEngine(PositionBitmapServing):
             )
         return (pending, results, sizes, B_real, slices)
 
-    def collect_batch(self, sched):
+    def collect_batch(self, sched, min_top: int = 0):
         if sched is None:
             return []
         pending, results, sizes, B_real, slices = sched
-        for rows, (outs2, pos_dev) in pending:
-            ch, hh = self._jax.device_get((outs2[0], outs2[1]))
-            bm = None
-            if pos_dev:
-                bm = np.unpackbits(self._jax.device_get(outs2[2]), axis=-1,
-                                   bitorder="little").view(np.bool_)
-            ms = (ch > 0).sum(axis=1).tolist()
-            for j, i in enumerate(rows):
-                if i >= B_real:
-                    continue
-                m = ms[j]
-                qc = QueryCounts(
-                    hit_rows=hh[j][:m], counts=ch[j][:m], _engine=self,
-                    _batch=slices, _row=i, _n_kmers=sizes[i],
-                )
-                if bm is not None:
-                    qc._bitmaps = bm[j]
-                results[i] = qc
-        return [results[i] for i in range(B_real)]
+        return _finalize_pending(self._jax, pending, results, sizes, B_real,
+                                 slices, self, min_top)
 
     def _pos_on_device(self, cap: int, k_eff: int, L: int, G: int) -> bool:
         # per-shard bitmap matmul runs over [G/dp, cap, k]; the merged

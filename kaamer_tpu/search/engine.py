@@ -179,6 +179,58 @@ class QueryCounts:
         return self._lens
 
 
+def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
+                      engine, min_top: int = 0):
+    """Shared collect_batch body (single-chip and sharded engines): fetch
+    each phase-2 chunk's outputs and build per-query QueryCounts.
+
+    min_top > 0: rows whose top count is below it become None without
+    constructing anything; their position bitmaps are never unpacked
+    (host unpackbits over a [G, k, L] group is the other per-row cost)."""
+    for rows, (outs2, pos_dev) in pending:
+        ch, hh = jax_mod.device_get((outs2[0], outs2[1]))
+        keep = None
+        if min_top > 0:
+            # counts are sorted desc, so column 0 is each row's top count;
+            # padded rows carry zeros and gate out with everything else
+            keep = (ch[:, 0] >= min_top).tolist()
+        bm = None
+        bpos = 0
+        if pos_dev:
+            packed = jax_mod.device_get(outs2[2])
+            if keep is None:
+                bm = np.unpackbits(packed, axis=-1,
+                                   bitorder="little").view(np.bool_)
+            else:
+                idx = [j for j in range(len(rows)) if keep[j]]
+                if idx:
+                    bm = np.unpackbits(packed[idx], axis=-1,
+                                       bitorder="little").view(np.bool_)
+        # one vectorized pass, then plain ints (numpy-scalar slice
+        # bounds cost ~3x an int at 30k queries/s)
+        ms = (ch > 0).sum(axis=1).tolist()
+        for j, i in enumerate(rows):
+            if keep is not None and not keep[j]:
+                if i < B_real:
+                    results[i] = None
+                continue
+            if i >= B_real:  # identity groups include padding rows
+                if keep is not None:
+                    bpos += 1  # mirrors the idx construction above
+                continue
+            m = ms[j]
+            qc = QueryCounts(
+                hit_rows=hh[j][:m], counts=ch[j][:m], _engine=engine,
+                _batch=batch, _row=i, _n_kmers=sizes[i],
+            )
+            if bm is not None:
+                qc._bitmaps = bm[j] if keep is None else bm[bpos]
+            if keep is not None:
+                bpos += 1
+            results[i] = qc
+    return [results[i] for i in range(B_real)]
+
+
 class _BatchIds:
     """Shared handle to a batch's device-resident per-k-mer slice starts;
     pulled to host at most once, and only if some query needs position
@@ -411,9 +463,9 @@ class SearchEngine(PositionBitmapServing):
     # quantile instead of the batch max.
     GROUP_B = 256
 
-    def resolve_batch(self, handle) -> List[QueryCounts]:
+    def resolve_batch(self, handle, min_top: int = 0) -> List[QueryCounts]:
         """schedule_batch + collect_batch in one call (see both)."""
-        return self.collect_batch(self.schedule_batch(handle))
+        return self.collect_batch(self.schedule_batch(handle), min_top)
 
     def _hot_g_max(self, L: int) -> int:
         """Largest (pow2) hot-group width within the dense-path budget."""
@@ -588,33 +640,21 @@ class SearchEngine(PositionBitmapServing):
             )
         return (pending, results, sizes, B_real, batch_ids)
 
-    def collect_batch(self, sched) -> List[QueryCounts]:
+    def collect_batch(self, sched, min_top: int = 0) -> List[QueryCounts]:
         """Fetch the scheduled phase-2 chunk outputs (already copied to the
-        host asynchronously) and finalize per-query results."""
+        host asynchronously) and finalize per-query results.
+
+        min_top > 0 gates rows vectorized BEFORE any per-query work: a row
+        whose top count is below it resolves to None instead of a
+        QueryCounts (the translated-search drivers discard such ORFs
+        outright, search_nucleotide.go:116 -- ~3/4 of all ORFs on real
+        reads, so skipping their construction and bitmap unpack is a
+        measurable share of fastq host time)."""
         if sched is None:
             return []
         pending, results, sizes, B_real, batch_ids = sched
-        for rows, (outs2, pos_dev) in pending:
-            ch, hh = self._jax.device_get((outs2[0], outs2[1]))
-            bm = None
-            if pos_dev:
-                bm = np.unpackbits(self._jax.device_get(outs2[2]), axis=-1,
-                                   bitorder="little").view(np.bool_)
-            # one vectorized pass, then plain ints (numpy-scalar slice
-            # bounds cost ~3x an int at 30k queries/s)
-            ms = (ch > 0).sum(axis=1).tolist()
-            for j, i in enumerate(rows):
-                if i >= B_real:  # identity groups include padding rows
-                    continue
-                m = ms[j]
-                qc = QueryCounts(
-                    hit_rows=hh[j][:m], counts=ch[j][:m], _engine=self,
-                    _batch=batch_ids, _row=i, _n_kmers=sizes[i],
-                )
-                if bm is not None:
-                    qc._bitmaps = bm[j]
-                results[i] = qc
-        return [results[i] for i in range(B_real)]
+        return _finalize_pending(self._jax, pending, results, sizes, B_real,
+                                 batch_ids, self, min_top)
 
     def _dispatch_group(self, outs1, rows: List[int], G: int, cap: int,
                         k_full: int, L: int, positions: bool,

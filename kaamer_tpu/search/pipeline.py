@@ -123,7 +123,8 @@ def _batched(queries, size_of=lambda q: q.SizeInKmer):
 
 def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
                positions: bool = False, cancel=None,
-               seq_of=lambda q: q.Sequence, size_of=lambda q: q.SizeInKmer):
+               seq_of=lambda q: q.Sequence, size_of=lambda q: q.SizeInKmer,
+               min_top: int = 0):
     """Keep `depth` batches in flight on the device while finalizing earlier
     ones on the host (overlaps upload/compute/fetch).
 
@@ -133,7 +134,11 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
     flag checked by its readers and workers (search.go:157-166, 280-282).
 
     seq_of/size_of extract sequence and k-mer count from a batch element
-    (QueryRecord for protein search; plain tuples on the ORF fast path)."""
+    (QueryRecord for protein search; plain tuples on the ORF fast path).
+
+    min_top > 0: queries whose top count falls below it come back as None
+    instead of a QueryCounts (vectorized discard in the engine; the
+    translated-search MinKMatch gate, search_nucleotide.go:116)."""
     from collections import deque
 
     # three-stage protocol when the engine supports it: schedule (dispatch
@@ -159,10 +164,10 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
             pending[-2][2] = schedule(pending[-2][1])
         if len(pending) >= depth:
             b, h, s = pending.popleft()
-            yield b, collect(s if s is not None else schedule(h))
+            yield b, collect(s if s is not None else schedule(h), min_top)
     while pending:
         b, h, s = pending.popleft()
-        res = collect(s if s is not None else schedule(h))
+        res = collect(s if s is not None else schedule(h), min_top)
         if not cancelled:
             yield b, res
 
