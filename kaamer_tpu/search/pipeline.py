@@ -188,6 +188,8 @@ def protein_search(engine: SearchEngine, opts: SearchOptions,
                                     positions=opts.ExtractPositions,
                                     cancel=cancel):
         for q, qc in zip(batch, counts):
+            if qc is None:  # engines only return None under min_top gating
+                continue
             qr = _build_result(engine, q, qc, opts,
                                need_positions=opts.ExtractPositions)
             if qr is not None and qr.Hits:
@@ -307,10 +309,16 @@ def nucleotide_search(
                                              size_of=itemgetter(1)),
                                     k, positions=True, cancel=cancel,
                                     seq_of=itemgetter(0),
-                                    size_of=itemgetter(1)):
+                                    size_of=itemgetter(1),
+                                    min_top=opts.MinKMatch):
         for item, qc in zip(batch, counts):
-            if qc.counts.size == 0 or int(qc.counts[0]) < opts.MinKMatch:
-                continue  # top-hit gate (search_nucleotide.go:116)
+            # top-hit gate (search_nucleotide.go:116): min_top gates rows
+            # vectorized in the engine (returned as None, bitmaps never
+            # unpacked); host-fallback rows bypass the engine gate and are
+            # re-checked here
+            if qc is None or qc.counts.size == 0 \
+                    or int(qc.counts[0]) < opts.MinKMatch:
+                continue
 
             seq, n, rec, sp, ep, plus, alts = item
             # the ORF's alternative-starts list is handed over without a
