@@ -43,19 +43,21 @@ ROW_SENTINEL = np.uint32(0xFFFFFFFF)
 # pipeline is cheaper than M's memory
 MIN_HOT_LEN = 24
 # dense-path budgets: M bytes (bf16) and the per-group [G, P] f32
-# intermediate.  1 GB of 16 GB v5e HBM: at 1M proteins this still funds
-# H~512 hot sets, which carry the majority of a power-law postings mass --
-# WITHOUT the dense path a skewed 1M-protein DB collapses to heavy-chunk
-# expansion (measured 51 q/s vs >4k with it).  H scales down with P
-# automatically; there is deliberately NO hard P cutoff here.
-M_BYTES_BUDGET = 1 << 30
+# intermediate.  4 GB of 16 GB v5e HBM (the 1M-scale index itself is
+# ~0.7 GB): at 1M proteins this funds H=2048 hot sets.  The workload sweep
+# (scripts/sweep_hot_h.py, skewed 1M/100k bench batches) shows per-batch
+# cold expansion dropping 25.6M -> 9.6M dispatched-row volume going from
+# H=536 to H=2048 -- the hot threshold is the dominant 1M-scale lever,
+# while the added dense flops ride the MXU (see hot_matmul).  H scales
+# down with P automatically; there is deliberately NO hard P cutoff here.
+M_BYTES_BUDGET = 1 << 32
 # the sharded engine's host-side per-shard M staging still uses a P gate
 # (it materializes [n_shards, H, P] on host); see parallel/dist._init_hot
 P_MAX = 1 << 18
 
 
 def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,
-                    h_max: int = 1024, min_len: int = MIN_HOT_LEN):
+                    h_max: int = 2048, min_len: int = MIN_HOT_LEN):
     """Pick the hot sets (longest postings slices) and build their dense
     membership matrix.  Returns (hot_starts int32[H] (slice start offsets,
     the probe's native set identity), threshold_len, P_pad) or None when the
@@ -149,13 +151,46 @@ def hot_weights(offs, whot, hot_starts):
           (phase 1 masks wstart by is_run_start & hot)
     hot_starts: int32[H]
 
-    One [G, L, H] f32 one-hot compare-einsum; every lane of a run carries the
+    One [G, L, H] one-hot compare-einsum; every lane of a run carries the
     same offs, so the run-start masking makes each run contribute exactly
-    once with multiplicity wstart.
+    once with multiplicity wstart.  Weights are bounded by L (a run weight
+    is a position count), so for L <= 256 the whole contraction is exact in
+    bf16 operands (integers 0..256 are exactly representable) and rides the
+    MXU at bf16 rate with an f32 accumulator; longer L keeps f32 operands.
     """
+    L = offs.shape[1]
+    if L <= 256:
+        ind = (offs[:, :, None] == hot_starts[None, None, :]).astype(
+            jnp.bfloat16)
+        return jnp.einsum("glh,gl->gh", ind, whot.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
     ind = (offs[:, :, None] == hot_starts[None, None, :]).astype(jnp.float32)
     return jnp.einsum("glh,gl->gh", ind, whot.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
+
+
+def hot_matmul(W, M, max_w: int):
+    """counts_hot f32[G, P] = W @ M, exactly, at bf16 MXU rate.
+
+    W: f32[G, H] integer-valued hot weights (values <= max_w, the group's
+    query length); M: {0,1} membership, f32 or bf16.  A bf16 M must NOT be
+    upcast (M.astype(f32) materializes a full f32 copy of a multi-GB matrix
+    per dispatch and runs the dot at f32 rate, ~4x slower on the MXU).
+    Instead the weights move to bf16: directly when max_w <= 256 (exact),
+    otherwise split W = 256*hi + lo with each half <= 256 and two bf16
+    matmuls recombined in f32 -- every product is an integer < 2^24, so f32
+    accumulation is exact."""
+    if M.dtype == jnp.bfloat16:
+        if max_w <= 256:
+            return jnp.dot(W.astype(jnp.bfloat16), M,
+                           preferred_element_type=jnp.float32)
+        hi = jnp.floor(W * (1.0 / 256.0))
+        lo = W - hi * 256.0
+        return (jnp.dot(lo.astype(jnp.bfloat16), M,
+                        preferred_element_type=jnp.float32)
+                + 256.0 * jnp.dot(hi.astype(jnp.bfloat16), M,
+                                  preferred_element_type=jnp.float32))
+    return jnp.dot(W, M, preferred_element_type=jnp.float32)
 
 
 def topk_dense(vals, k: int, direct_max: int = 4096):

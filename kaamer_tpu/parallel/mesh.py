@@ -352,8 +352,9 @@ def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
             P("dp",),                 # n_kmers
         )
     else:
-        from ..ops.hotset import (hot_lane_mask, hot_position_bitmaps,
-                                  hot_weights, merge_hot_cold)
+        from ..ops.hotset import (hot_lane_mask, hot_matmul,
+                                  hot_position_bitmaps, hot_weights,
+                                  merge_hot_cold)
 
         def local_step(table_b, postings, thresh_b, M_b, MT_b, hstarts_b,
                        codes, n_kmers):
@@ -370,8 +371,7 @@ def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
                 postings, offs, lens_u, wstart, hot_mask)
             s_rows, cold_counts, is_start = sort_rle(rows_ex, weights=w_ex)
             W = hot_weights(offs, whot, hstarts)
-            partial = jnp.dot(W, M.astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
+            partial = hot_matmul(W, M, max_w=offs.shape[1])
             # every posting lives on exactly one shard, so summing the
             # shards' dense partials merges exactly; scatter leaves each
             # finalizing device its own G/n query rows

@@ -621,7 +621,16 @@ class SearchEngine(PositionBitmapServing):
                     if best is None or score < best:
                         G_c, best = g, score
                 take = min(rem, G_c)
-                chunks.append((seg[c0 : c0 + take], G_c, cap_c, hot0))
+                rows_c = seg[c0 : c0 + take]
+                # the chunk's cap tracks ITS heaviest member, not the
+                # segment head's: seg is totals-desc, so later chunks of a
+                # wide segment often fit a smaller bucket of the same
+                # quantized ladder (a large-cap segment spans [cap/1.5,
+                # cap] -- up to a third of its expansion rows are padding
+                # otherwise); warmup covers the whole ladder, so no new
+                # compiled shapes
+                cap_cc = cap_c if cap_pin else caps_l[rows_c[0]]
+                chunks.append((rows_c, G_c, cap_cc, hot0))
                 c0 += take
 
         # a fully uniform batch is ONE whole-batch group: skip the row
@@ -840,16 +849,16 @@ def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum, wstart,
 
     from ..ops.count import (expand_run_bitmaps, gather_postings,
                              member_bitmap_from_rows, pack_bits, sort_rle)
-    from ..ops.hotset import (hot_lane_mask, hot_position_bitmaps,
-                              hot_weights, merge_hot_cold)
+    from ..ops.hotset import (hot_lane_mask, hot_matmul,
+                              hot_position_bitmaps, hot_weights,
+                              merge_hot_cold)
 
     total = cum[:, -1]
     rows, seg, valid, w = gather_postings(postings, offs, cum, total, cap,
                                           wstart=wstart)
     s_rows, cold_counts, is_start = sort_rle(rows, weights=w)
     W = hot_weights(offs, whot, hot_starts)
-    counts_hot = jnp.dot(W, M.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+    counts_hot = hot_matmul(W, M, max_w=offs.shape[1])
     counts, hit_rows = merge_hot_cold(counts_hot, s_rows, cold_counts,
                                       is_start, k)
     if not positions:

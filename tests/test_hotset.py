@@ -238,3 +238,30 @@ def test_hot_engine_fuzz_vs_oracle(skewed_db):
             bms = engine.position_bitmaps(qc, rows)
             for r in rows:
                 assert bms[r] == want_pos[int(ext[r])], q[:24]
+
+
+def test_hot_matmul_exact_bf16_split():
+    """hot_matmul must be integer-exact for bf16 M both below and above the
+    256 weight bound (the >256 case uses the split-weight double matmul;
+    values like 257 are NOT representable in bf16, so a naive cast would be
+    wrong by 1)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    G, H, P = 8, 64, 384
+    M_np = (rng.random((H, P)) < 0.3).astype(np.float32)
+    for max_w in (256, 512):
+        W_np = rng.integers(0, max_w + 1, size=(G, H)).astype(np.float32)
+        # force odd values > 256 into the test when allowed
+        if max_w > 256:
+            W_np[0, 0] = 257.0
+            W_np[1, 1] = 511.0
+        ref = W_np @ M_np
+        out = np.asarray(hotset.hot_matmul(
+            jnp.asarray(W_np), jnp.asarray(M_np, dtype=jnp.bfloat16),
+            max_w=max_w))
+        np.testing.assert_array_equal(out, ref)
+        # f32 M path unchanged
+        out32 = np.asarray(hotset.hot_matmul(
+            jnp.asarray(W_np), jnp.asarray(M_np), max_w=max_w))
+        np.testing.assert_array_equal(out32, ref)
