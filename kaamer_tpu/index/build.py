@@ -471,7 +471,7 @@ def index_db(db_path: str, progress: bool = False,
     chunk = chunk_pairs or max(1 << 20, _spill_budget() // 8)
     S = max(int(n_shards), 1)
 
-    from ..parallel.mesh import shard_owner
+    from ..parallel.mesh import shard_owner, split_set_mask
 
     # per-shard accumulation (S == 1 is the plain global artifact)
     uk_chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
@@ -499,29 +499,39 @@ def index_db(db_path: str, progress: bool = False,
         uk, sid, so, post = dedup_sets(np.asarray(pairs[i:j]))
         n_sets = so.shape[0] - 1
         sid64 = sid.astype(np.int64)
+        so64 = so.astype(np.int64)
         if S == 1:
-            owners_k = None
+            set_owner = split = None
         else:
-            # route each SET (all its k-mers and postings) to one shard
+            # route each SET (all its k-mers and postings) to one shard --
+            # except long sets, which split contiguously across ALL shards
+            # for expansion load balance (mesh.split_set_mask; the serving
+            # layout in mesh.shard_index_arrays applies the same rule, and
+            # tests assert the two layouts are bit-equal)
             set_owner = shard_owner(
                 (set_base + np.arange(n_sets)).astype(np.uint32), S)
-            owners_k = set_owner[sid64]
+            split = split_set_mask(so64[1:] - so64[:-1], S)
         for s in range(S):
             if S == 1:
                 uk_s, sid_s = uk, sid64
-                sets_s = np.arange(n_sets, dtype=np.int64)
                 so_s, post_s = so, post
             else:
-                ksel = owners_k == s
+                sel_sets = split | (set_owner == s)
+                sets_s = np.flatnonzero(sel_sets).astype(np.int64)
+                ls_lens = so64[sets_s + 1] - so64[sets_s]
+                ls_split = split[sets_s]
+                lo = so64[sets_s] + np.where(ls_split, ls_lens * s // S, 0)
+                hi = so64[sets_s] + np.where(
+                    ls_split, ls_lens * (s + 1) // S, ls_lens)
+                lens_s = hi - lo
+                ksel = sel_sets[sid64]
                 uk_s = uk[ksel]
-                sets_s = np.flatnonzero(set_owner == s).astype(np.int64)
                 # chunk-set id -> shard-local rank (sets_s is sorted)
                 sid_s = np.searchsorted(sets_s, sid64[ksel])
-                lens_s = (so[sets_s + 1] - so[sets_s]).astype(np.int64)
                 so_s = np.zeros(sets_s.size + 1, dtype=np.uint64)
                 np.cumsum(lens_s.astype(np.uint64), out=so_s[1:])
                 total = int(so_s[-1])
-                src = (np.repeat(so[sets_s].astype(np.int64), lens_s)
+                src = (np.repeat(lo, lens_s)
                        + np.arange(total, dtype=np.int64)
                        - np.repeat(so_s[:-1].astype(np.int64), lens_s))
                 post_s = post[src]

@@ -38,12 +38,10 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..search.engine import (DISPATCH_COST_ROWS, HOT_DENSE_BYTES,
-                             MAX_EXPANSION_ELEMS,
-                             SMALL_CAP_COALESCE, TOPK_MIN,
+from ..search.engine import (HOT_DENSE_BYTES, MAX_EXPANSION_ELEMS, TOPK_MIN,
                              PositionBitmapServing, QueryCounts, _cap_bucket,
                              _cap_floor, _finalize_pending, _next_pow2,
-                             _positions_on_device)
+                             _plan_normal_chunks, _positions_on_device)
 
 KMER_SIZE = 7
 
@@ -443,48 +441,20 @@ class ShardedSearchEngine(PositionBitmapServing):
             cap_c = min(_next_pow2(max(totals_l[i] for i in rows)),
                         self.CAP_MAX)
             chunks.append((rows, gm, cap_c, any_hot(rows)))
-        i0 = 0
-        while i0 < len(normal):
-            q0 = normal[i0]
-            hot0 = self.hot_starts is not None and hot_l[q0]
-            cap_c = cap_pin or caps_l[q0]
-            i1 = i0 + 1
-            while i1 < len(normal):
-                q = normal[i1]
-                if (self.hot_starts is not None
-                        and hot_l[q] != hot0) and not cap_pin:
-                    break
-                # below SMALL_CAP_COALESCE the whole tail joins the segment
-                # (padding beats dispatch count; see the single-chip rule)
-                if not cap_pin and cap_c > SMALL_CAP_COALESCE:
-                    if caps_l[q] != cap_c and totals_l[q] * 2 < cap_c:
-                        break
-                i1 += 1
-            seg = normal[i0:i1]
-            i0 = i1
-            groups = self._quantized_groups(cap_c, B, hot0, L)
-            # cost-based chunking, mirroring the single-chip scheduler: a
-            # tail rounds UP to a wider quantized group only when the
-            # padding rows it adds (cap_c gathers each, plus the dense
-            # share for hot groups) cost less than the dispatches saved
-            pad_row_cost = cap_c
-            if hot0:
-                H = int(self.hot_starts.shape[1])
-                P_pad = int(self.M.shape[2])
-                pad_row_cost += max(P_pad, L * H) // 5000
-            c0 = 0
-            while c0 < len(seg):
-                rem = len(seg) - c0
-                G_c, best = groups[0], None
-                for g in groups:
-                    n_chunks = -(-rem // g)
-                    score = (n_chunks * DISPATCH_COST_ROWS
-                             + (n_chunks * g - rem) * pad_row_cost)
-                    if best is None or score < best:
-                        G_c, best = g, score
-                take = min(rem, G_c)
-                chunks.append((seg[c0 : c0 + take], G_c, cap_c, hot0))
-                c0 += take
+        # the bulk: shared cost-model chunker (engine._plan_normal_chunks)
+        def groups_for(cap_c, hot0):
+            return self._quantized_groups(cap_c, B, hot0, L)
+
+        def hot_extra_rows():
+            H = int(self.hot_starts.shape[1])
+            P_pad = int(self.M.shape[2])
+            return max(P_pad, L * H) // 5000
+
+        if self.hot_starts is None:
+            hot_l = [False] * B
+        chunks.extend(_plan_normal_chunks(normal, totals_l, hot_l, caps_l,
+                                          cap_pin, groups_for,
+                                          hot_extra_rows))
 
         identity = (len(chunks) == 1 and not results
                     and len(chunks[0][0]) == B_real and chunks[0][1] == B)

@@ -85,6 +85,29 @@ def shard_owner(keys: np.ndarray, n_shards: int) -> np.ndarray:
     return ((h.astype(np.uint64) * np.uint64(n_shards)) >> np.uint64(32)).astype(np.int64)
 
 
+# Sets whose postings slice is at least n_shards * SPLIT_SUB_MIN long are
+# SPLIT contiguously across all shards instead of owned by one: whole-set
+# ownership concentrates the power-law head on single shards, capping cold
+# expansion balance at tsum/(n*tmax) ~= 0.19 at 8 shards (SCALING_r03) --
+# per-batch expansion time is then set by whichever shard owns the biggest
+# hot domains.  A split set contributes len/n rows on EVERY shard: sums
+# (and therefore counts after the concat-RLE merge) are unchanged, each
+# shard's sub-slice is sorted (contiguous cut of a sorted slice) so host
+# bitmaps/fallback still binary-search it, and adjacent query positions
+# still dedup into one run per shard.  The floor keeps sub-slices worth a
+# few gather rows (>= 8 postings each; measured on the SCALING_r04 workload
+# at 8 shards: balance 0.396 / 0.507 / 0.640 / 0.757 for sub-min 32/16/8/4
+# -- 8 clears the >= 0.5 bar with margin while splits stay row-worthy).
+SPLIT_SUB_MIN = 8
+
+
+def split_set_mask(set_lens: np.ndarray, n_shards: int) -> np.ndarray:
+    """Which sets are split across all shards (vs owned by shard_owner)."""
+    if n_shards <= 1:
+        return np.zeros(set_lens.shape, dtype=bool)
+    return set_lens.astype(np.int64) >= n_shards * SPLIT_SUB_MIN
+
+
 def shard_index(art: DBArtifact, n_shards: int) -> ShardedIndexArrays:
     """Split an indexed artifact into per-shard probe structures."""
     return shard_index_arrays(
@@ -107,11 +130,15 @@ def shard_index_arrays(
     set_ids = np.searchsorted(set_offsets, g_starts.astype(np.uint64),
                               side="left").astype(np.uint32)
 
-    global_starts = set_offsets
+    global_starts = set_offsets.astype(np.int64)
+    n_sets = global_starts.size - 1
+    lens_all = global_starts[1:] - global_starts[:-1]
 
     # ownership by SET identity preserves the query-time run-dedup structure
-    # (see shard_owner); dense set ids are uniform under Fibonacci hashing
-    owners = shard_owner(set_ids, n_shards)
+    # (see shard_owner); dense set ids are uniform under Fibonacci hashing.
+    # Long sets are SPLIT across all shards for load balance (split_set_mask)
+    owner_of_set = shard_owner(np.arange(n_sets, dtype=np.uint32), n_shards)
+    split = split_set_mask(lens_all, n_shards)
 
     shard_posts = []
     shard_keys = []
@@ -119,26 +146,32 @@ def shard_index_arrays(
     shard_lens_v = []
     shard_set_offsets = []
     for s in range(n_shards):
-        sel = owners == s
-        k_s = kmers[sel]
-        sid_s = set_ids[sel]
-        # unique sets used by this shard, re-indexed locally
-        uniq_sets, local_ids = np.unique(sid_s, return_inverse=True)
-        lens = (global_starts[uniq_sets + 1] - global_starts[uniq_sets]).astype(np.int64)
-        starts_local = np.zeros(uniq_sets.size + 1, dtype=np.int64)
+        sel_sets = split | (owner_of_set == s)
+        local_sets = np.flatnonzero(sel_sets)  # ascending global ids
+        ls_lens = lens_all[local_sets]
+        ls_split = split[local_sets]
+        # sub-slice [lo, hi) of each local set: shard s's contiguous cut of
+        # a split set, the whole slice otherwise
+        lo = global_starts[local_sets] + np.where(
+            ls_split, ls_lens * s // n_shards, 0)
+        hi = global_starts[local_sets] + np.where(
+            ls_split, ls_lens * (s + 1) // n_shards, ls_lens)
+        lens = hi - lo
+        starts_local = np.zeros(local_sets.size + 1, dtype=np.int64)
         np.cumsum(lens, out=starts_local[1:])
         total = int(starts_local[-1])
-        post_local = np.empty(total, dtype=np.uint32)
         src = (
-            np.repeat(global_starts[uniq_sets].astype(np.int64), lens)
+            np.repeat(lo, lens)
             + np.arange(total, dtype=np.int64)
             - np.repeat(starts_local[:-1], lens)
         )
-        post_local[:] = postings[src]
+        post_local = postings[src]
 
-        shard_keys.append(k_s)
-        shard_starts_v.append(starts_local[local_ids].astype(np.uint32))
-        shard_lens_v.append(lens[local_ids].astype(np.uint32))
+        ksel = sel_sets[set_ids]
+        local_rank = np.searchsorted(local_sets, set_ids[ksel])
+        shard_keys.append(kmers[ksel])
+        shard_starts_v.append(starts_local[local_rank].astype(np.uint32))
+        shard_lens_v.append(lens[local_rank].astype(np.uint32))
         shard_posts.append(post_local)
         shard_set_offsets.append(starts_local.astype(np.uint64))
 

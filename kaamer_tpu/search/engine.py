@@ -93,19 +93,24 @@ MAX_EXPANSION_ELEMS = 1 << 24
 HOT_DENSE_BYTES = 1 << 30
 
 
-# Cap threshold below which the scheduler coalesces ALL smaller-cap
-# queries (of the same hotness) into one segment instead of splitting per
-# fine cap bucket: under it, dispatch count dominates expansion padding.
-SMALL_CAP_COALESCE = 256
-# Cap threshold above which expansion-gather rows dominate a group's cost
-# (~42M gathered rows/s on big-DB postings): segments split at 1.5x instead
-# of 2x to keep padding bounded where it is the dominant cost.
-LARGE_CAP = 1 << 12
-# One phase-2 dispatch costs ~0.5-1.5 ms of host/tunnel time, worth about
-# this many gathered expansion rows (~42M rows/s): the chunker rounds a
-# segment tail UP to a wider quantized group only when the padding rows it
-# adds cost less than the dispatches it saves.
+# One COLD phase-2 dispatch costs ~2.5-3 ms end to end (issue + fixed
+# kernel overhead, measured on-chip at G=16: .bench_cache/dispatch_cost),
+# worth about this many dispatched expansion rows at the fused pipeline's
+# ~25M rows/s (SCALE_FLOOR_r04: gather+seg+sort+RLE+top_k together run ~3x
+# slower per row than the 73M rows/s raw-gather wall).  The chunker rounds
+# a tail UP to a wider quantized group only when the padding rows it adds
+# cost less than the dispatches it saves.
 DISPATCH_COST_ROWS = 1 << 16
+# A HOT chunk additionally streams the FULL membership matrix M (3.8 GB at
+# 1M proteins ~= 4.6 ms) and materializes/ranks its counts_hot slab --
+# measured +6 ms (G=16) to +20 ms (G=256) per chunk on the skewed-1M
+# workload.  Extra fixed row-equivalents charged per hot dispatch so the
+# scheduler emits FEW, WIDE hot chunks (41 -> ~8 per 2048-batch at 1M).
+HOT_CHUNK_COST_ROWS = 1 << 18
+# Rows of a hot chunk pay ~2x a cold row: the candidate-union merge gathers
+# counts_hot at every expanded lane (ops/hotset.merge_hot_cold) on top of
+# the postings gather itself.
+HOT_ROW_COST = 2
 
 
 def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
@@ -121,6 +126,79 @@ def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
     c2 = h + (h >> 1)
     cap = np.where(c1 >= n, c1, np.where(c2 >= n, c2, p))
     return np.where(n >= CAP_MAX, CAP_MAX, cap)
+
+
+def _plan_normal_chunks(normal, totals_l, hot_l, caps_l, cap_pin,
+                        groups_for, hot_extra_rows):
+    """Chunk the totals-desc `normal` rows (hot class first) into quantized
+    phase-2 groups; shared by the single-chip and sharded schedulers.
+
+    Since every chunk dispatches at its own HEAD's cap bucket (caps are
+    nonincreasing within a hotness class under the totals-desc order),
+    fine-grained cap segmentation is unnecessary: all same-hotness rows
+    form one segment and only chunk WIDTH is optimized, per chunk, by the
+    measured cost model
+
+        n_chunks * (DISPATCH_COST_ROWS [+ HOT_CHUNK_COST_ROWS])
+            + padding_rows * row_cost
+
+    -- a hot chunk pays a large fixed cost (it streams the full membership
+    matrix and ranks a dense counts slab) and ~HOT_ROW_COST gather-row
+    equivalents per dispatched row (the candidate-union merge re-gathers
+    counts_hot at every expanded lane), so hot queries coalesce into few,
+    wide chunks while a heavy-cap tail still drops to G=16 rather than pad
+    a 256-wide group (measured 458 -> 276 q/s on the skewed 1M DB under a
+    blanket round-up rule).
+
+    Width choice is greedy per chunk, by COST PER COVERED QUERY: a wide
+    chunk dispatches every lane -- real, spread (a light query under the
+    head's cap), and padded -- at cap_head rows, so its waste is
+    G*cap_head - sum(totals of covered queries), computable from a prefix
+    sum.  This is what keeps a heavy-cap head from pulling hundreds of
+    light queries to its cap (their spread waste dominates D) while a
+    uniform small-cap tail still rounds up to one wide chunk (its spread
+    waste is trivial next to extra dispatches).
+
+    normal: row ids, hot-first then totals-desc within each class;
+    groups_for(cap, hot) -> allowed quantized widths (respects the caller's
+    expansion/dense budgets and cap pinning); hot_extra_rows() -> the dense
+    share one group lane adds in a hot group.  Returns
+    [(rows, G, cap, hot)]."""
+    chunks: List[tuple] = []
+    i0 = 0
+    n = len(normal)
+    while i0 < n:
+        hot0 = hot_l[normal[i0]]
+        i1 = i0 + 1
+        while i1 < n and hot_l[normal[i1]] == hot0:
+            i1 += 1
+        seg = normal[i0:i1]
+        i0 = i1
+        pref = [0]
+        for q in seg:
+            pref.append(pref[-1] + totals_l[q])
+        D = DISPATCH_COST_ROWS + (HOT_CHUNK_COST_ROWS if hot0 else 0)
+        extra = hot_extra_rows() if hot0 else 0
+        c_row = HOT_ROW_COST if hot0 else 1
+        c0 = 0
+        while c0 < len(seg):
+            rem = len(seg) - c0
+            cap_c = cap_pin or caps_l[seg[c0]]
+            G_c, best = None, None
+            for g in groups_for(cap_c, hot0):
+                take_g = min(g, rem)
+                # chunk cost in gather-row equivalents: fixed dispatch +
+                # wasted expansion rows (dispatched minus useful; useful
+                # rows cost the same under any chunking) + the per-lane
+                # dense share of hot groups
+                waste = g * cap_c - (pref[c0 + take_g] - pref[c0])
+                score = (D + waste * c_row + g * extra) / take_g
+                if best is None or score < best:
+                    G_c, best = g, score
+            take = min(rem, G_c)
+            chunks.append((seg[c0 : c0 + take], G_c, cap_c, hot0))
+            c0 += take
+    return chunks
 
 
 def _cap_floor(limit: int) -> int:
@@ -547,91 +625,32 @@ class SearchEngine(PositionBitmapServing):
             cap_c = min(_next_pow2(max(totals_l[i] for i in rows)),
                         CAP_MAX)
             chunks.append((rows, self.RERUN_B, cap_c, any_hot(rows)))
-        # the bulk: queries sharing a cap bucket and hotness COALESCE into
-        # one group (pow2-sized, budget-bounded), so a uniform batch costs
-        # one phase-2 dispatch instead of B/GROUP_B; the totals-desc order
-        # still keeps a heavy quantile from inflating lighter groups' caps
-        i0 = 0
-        while i0 < len(normal):
-            q0 = normal[i0]
-            hot0 = self.hot_starts is not None and hot_l[q0]
-            cap_c = cap_pin or caps_l[q0]
-            i1 = i0 + 1
-            while i1 < len(normal):
-                q = normal[i1]
-                if (self.hot_starts is not None
-                        and hot_l[q] != hot0) and not cap_pin:
-                    break
-                # queries within 2x of the segment head's cap (or in its
-                # bucket) join it: the bounded expansion waste is cheaper
-                # than another dispatch (and another compiled shape) per
-                # fine cap bucket.  Below SMALL_CAP_COALESCE the whole tail
-                # joins: a fully padded group is <=G*256 expansion elements
-                # (~2 MB, trivial device time) while each extra dispatch
-                # costs ~0.5-1 ms of host/tunnel time.  Above LARGE_CAP the
-                # trade flips -- expansion gathers dominate (~42M rows/s on
-                # big-DB postings) and padding is the cost, so segments
-                # split at 1.5x instead of 2x
-                if not cap_pin and cap_c > SMALL_CAP_COALESCE:
-                    # join range: totals >= cap_c/2 normally, >= cap_c/1.5
-                    # above LARGE_CAP (x2 and x1.5 expressed over a common
-                    # denominator of 6)
-                    num = 3 if cap_c <= LARGE_CAP else 4
-                    if (caps_l[q] != cap_c
-                            and totals_l[q] * 6 < cap_c * num):
-                        break
-                i1 += 1
-            seg = normal[i0:i1]
-            i0 = i1
-            # G is quantized to {16, 256, 2048}: every extra (G, cap) pair
-            # is a 20-60s remote compile on a tunneled chip, so shape count
-            # beats padding waste here
+
+        # the bulk: shared cost-model chunker (see _plan_normal_chunks); G
+        # stays quantized to {16, 256, 2048} -- every extra (G, cap) pair
+        # is a 20-60s remote compile on a tunneled chip
+        def groups_for(cap_c, hot0):
             g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap_c
                                      ).bit_length() - 1) if not cap_pin else B
             if hot0:
                 # the dense hot path's [G, P_pad] / [G, L, H] intermediates
                 # are budgeted separately (HOT_DENSE_BYTES)
                 g_budget = min(g_budget, self._hot_g_max(L))
-            allowed = [g for g in (16, 256, 2048)
-                       if g <= min(g_budget, B) or g == 16]
-            # cost of one PADDING query-row in gather-row equivalents: its
-            # cap_c cold expansion, plus (hot groups) its share of the
-            # dense [G, P_pad]/[G, L, H] work -- dense f32 HBM streaming is
-            # ~5000x cheaper per element than a gathered row
-            pad_row_cost = cap_c
-            if hot0:
-                H = int(self.hot_starts.shape[0])
-                P_pad = int(self.M.shape[1])
-                pad_row_cost += max(P_pad, L * H) // 5000
-            c0 = 0
-            while c0 < len(seg):
-                rem = len(seg) - c0
-                # pick the quantized width minimizing dispatches + padding:
-                # at serving caps (<=512) one padded dispatch beats several
-                # exact ones (72 groups/8k queries measured without this,
-                # 41 of them G=16 tails), while at heavy caps (~64k) a
-                # 20-row tail must NOT round up to G=256 (15M padding rows
-                # cost ~0.4 s; measured 458 -> 276 q/s on the skewed 1M DB
-                # under a blanket round-up rule)
-                G_c, best = allowed[0], None
-                for g in allowed:
-                    n_chunks = -(-rem // g)
-                    score = (n_chunks * DISPATCH_COST_ROWS
-                             + (n_chunks * g - rem) * pad_row_cost)
-                    if best is None or score < best:
-                        G_c, best = g, score
-                take = min(rem, G_c)
-                rows_c = seg[c0 : c0 + take]
-                # the chunk's cap tracks ITS heaviest member, not the
-                # segment head's: seg is totals-desc, so later chunks of a
-                # wide segment often fit a smaller bucket of the same
-                # quantized ladder (a large-cap segment spans [cap/1.5,
-                # cap] -- up to a third of its expansion rows are padding
-                # otherwise); warmup covers the whole ladder, so no new
-                # compiled shapes
-                cap_cc = cap_c if cap_pin else caps_l[rows_c[0]]
-                chunks.append((rows_c, G_c, cap_cc, hot0))
-                c0 += take
+            return [g for g in (16, 256, 2048)
+                    if g <= min(g_budget, B) or g == 16]
+
+        def hot_extra_rows():
+            # dense share of one padding row: f32 HBM streaming is ~5000x
+            # cheaper per element than a gathered row
+            H = int(self.hot_starts.shape[0])
+            P_pad = int(self.M.shape[1])
+            return max(P_pad, L * H) // 5000
+
+        if self.hot_starts is None:
+            hot_l = [False] * B
+        chunks.extend(_plan_normal_chunks(normal, totals_l, hot_l, caps_l,
+                                          cap_pin, groups_for,
+                                          hot_extra_rows))
 
         # a fully uniform batch is ONE whole-batch group: skip the row
         # permutation gather entirely (padding rows have no k-mers)

@@ -1,4 +1,4 @@
-"""Shard-invariant scaling evidence on a virtual CPU mesh (SCALING_r03).
+"""Shard-invariant scaling evidence on a virtual CPU mesh (SCALING_r04).
 
 Wall-clock on N virtual CPU devices sharing 2 host cores says nothing about
 real multi-chip scaling (it measures core contention), so this script
@@ -18,7 +18,7 @@ scaling on real hardware:
   group caps the scheduler actually dispatched.
 
 Usage: python scripts/scaling_evidence.py  (CPU, 8 virtual devices)
-Writes SCALING_r03.json at the repo root.
+Writes SCALING_r04.json at the repo root.
 """
 
 import json
@@ -153,7 +153,7 @@ def main():
         "shard's share (tsum / n*tmax)"
     )
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r03.json")
+        os.path.abspath(__file__))), "SCALING_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

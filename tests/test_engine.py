@@ -211,17 +211,20 @@ def heavy_db(tmp_path_factory):
 
 
 def test_grouped_caps_track_totals(heavy_db, monkeypatch):
-    """Phase-2 groups are totals-sorted: with the hot-set path disabled,
-    heavy queries (shared hot segment) and light ones land in different
-    groups with different cap buckets, and both resolve exactly (no
-    single-cap batch tax)."""
+    """Per-chunk caps track each chunk's own head: with the dispatch cost
+    zeroed (so the cost model never coalesces for dispatch economy), heavy
+    and light queries land in different chunks with different cap buckets,
+    and both resolve exactly (no single-cap batch tax).  At the real
+    dispatch cost, 8 tiny queries rightly coalesce into ONE chunk (one
+    dispatch beats two at trivial expansion volumes) -- also asserted."""
+    from kaamer_tpu.search import engine as engine_mod
+
     art, oracle, seqs, shared = heavy_db
     engine = SearchEngine(art, hot=False)
-    monkeypatch.setattr(SearchEngine, "GROUP_B", 4)
 
     heavy = [seqs[0], seqs[1], seqs[2], seqs[3]]   # hot segment, total ~400+
     light = [seqs[-1][:40], seqs[-2][:30], seqs[-3][:40], seqs[-4][:30]]
-    queries = heavy + light
+    queries = (heavy + light) * 4  # 2 full G=16 chunks when split is free
     sizes = [len(q) - 6 for q in queries]
 
     calls = []
@@ -232,12 +235,18 @@ def test_grouped_caps_track_totals(heavy_db, monkeypatch):
         return orig(*a, **kw)
 
     engine._p2 = counting_p2
+    monkeypatch.setattr(engine_mod, "DISPATCH_COST_ROWS", 0)
     res = engine.count_batch(queries, sizes, k=10)
-    engine._p2 = orig
-
     caps = sorted({cap for _, cap in calls})
-    assert len(calls) == 2 and len(caps) == 2, calls
+    assert len(calls) >= 2 and len(caps) == 2, calls
     assert caps[0] <= 128 and caps[1] >= 512, calls
+
+    # at the real dispatch cost the same tiny batch coalesces
+    monkeypatch.setattr(engine_mod, "DISPATCH_COST_ROWS", 1 << 16)
+    calls.clear()
+    engine.count_batch(queries[:8], sizes[:8], k=10)
+    engine._p2 = orig
+    assert len(calls) == 1, calls
 
     ext = np.asarray(art.protein_ids)
     for q, size, qc in zip(queries, sizes, res):
