@@ -155,6 +155,27 @@ def align_batch(
     """Align many (query, ref) pairs; DP runs through the Pallas wavefront
     kernel when a device is available and the batch warrants it, with the
     host wavefront as fallback.  Returns a list of AlignmentResult."""
+    return align_batch_resolve(align_batch_dispatch(
+        pairs, db_stats, sub_matrix, gap_open, gap_extend,
+        use_device=use_device))
+
+
+def align_batch_dispatch(
+    pairs,
+    db_stats: KStats,
+    sub_matrix: str = "blosum62",
+    gap_open: int = 11,
+    gap_extend: int = 1,
+    use_device: bool = True,
+):
+    """Asynchronously dispatch the device DP for a pair batch; returns a
+    handle for align_batch_resolve.  JAX dispatch is async, so the serving
+    stream can keep collecting search results (and dispatching further
+    search batches) while a flushed alignment batch runs; the reference
+    aligns synchronously per hit inside its result handler
+    (align.go:46-161).  Raises NoMatrixError like align_batch; any other
+    device problem falls back to the host DP (resolved lazily at
+    align_batch_resolve, preserving result parity)."""
     scores = get_matrix_scores(sub_matrix, gap_open, gap_extend)
     pairs = [
         (q.replace("U", "*").replace("u", "*"),
@@ -162,20 +183,46 @@ def align_batch(
         for q, r in pairs
     ]
 
-    ops = None
+    dev = None
     if use_device and len(pairs) >= 4 and max(
         max(len(q), len(r)) for q, r in pairs
     ) <= 2048:
         try:
-            from .swalign_pallas import align_pairs
+            from .matrices import LETTER_INDEX as LI
+            from .swalign_pallas import sw_batch_dispatch
 
-            ops = align_pairs(pairs, scores)
+            qs = [LI[np.frombuffer(q.encode("latin-1"), np.uint8)]
+                  for q, _ in pairs]
+            rs = [LI[np.frombuffer(r.encode("latin-1"), np.uint8)]
+                  for _, r in pairs]
+            dev = sw_batch_dispatch(qs, rs, scores)
         except Exception as e:
             global _fallback_logged
             if not _fallback_logged:
                 _fallback_logged = True
                 _log.warning(
                     "Pallas SW kernel unavailable, aligning on host "
+                    "(%s: %s)", type(e).__name__, e)
+            dev = None
+    return (pairs, scores, db_stats, dev)
+
+
+def align_batch_resolve(handle):
+    """Finish an align_batch_dispatch: fetch the device op streams (or run
+    the host DP fallback) and build AlignmentResults."""
+    pairs, scores, db_stats, dev = handle
+    ops = None
+    if dev is not None:
+        try:
+            from .swalign_pallas import sw_batch_resolve
+
+            ops = sw_batch_resolve(dev)
+        except Exception as e:
+            global _fallback_logged
+            if not _fallback_logged:
+                _fallback_logged = True
+                _log.warning(
+                    "Pallas SW resolve failed, aligning on host "
                     "(%s: %s)", type(e).__name__, e)
             ops = None
     if ops is None:

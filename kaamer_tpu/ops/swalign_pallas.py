@@ -260,6 +260,18 @@ def sw_batch_device(
 ) -> List[Tuple[int, list, list]]:
     """Align pairs of LETTER_INDEX arrays on device; returns per pair
     (best_score, q_ops, r_ops) like swalign._smith_waterman."""
+    return sw_batch_resolve(sw_batch_dispatch(qs, rs, scores,
+                                              interpret=interpret))
+
+
+def sw_batch_dispatch(
+    qs: List[np.ndarray], rs: List[np.ndarray], scores: MatrixScores,
+    interpret: bool = False,
+):
+    """Asynchronously dispatch the device DP + traceback for a pair batch
+    and start the device->host copies; sw_batch_resolve finishes.  Split so
+    serving can keep collecting search results while a flushed alignment
+    batch runs (JAX dispatch is async; the handle holds device arrays)."""
     import jax.numpy as jnp
 
     m_max = max(2, max(len(q) for q in qs))
@@ -306,8 +318,16 @@ def sw_batch_device(
     score_d, q_steps_d, r_steps_d, emits_d = _TB_CACHE[tkey](
         dirs, best, jnp.asarray(qlens)
     )
+    for arr in (score_d, q_steps_d, r_steps_d, emits_d):
+        arr.copy_to_host_async()
+    return (B_real, score_d, q_steps_d, r_steps_d, emits_d)
+
+
+def sw_batch_resolve(handle) -> List[Tuple[int, list, list]]:
+    """Finish a sw_batch_dispatch: fetch the op streams and decode them."""
     import jax
 
+    B_real, score_d, q_steps_d, r_steps_d, emits_d = handle
     score, q_steps, r_steps, emits = jax.device_get(
         (score_d, q_steps_d, r_steps_d, emits_d)
     )

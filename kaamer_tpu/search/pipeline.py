@@ -400,24 +400,33 @@ ALIGN_FLUSH_PAIRS = 256
 def _aligned_results(engine: SearchEngine, results, opts: SearchOptions,
                      flush_pairs: int = ALIGN_FLUSH_PAIRS):
     """QueryResultHandler's alignment step (search.go:483-494) batched
-    ACROSS the result stream: buffer results until `flush_pairs`
-    (query, subject) pairs accumulate, align them in one Pallas wavefront
-    batch, re-sort each result's hits by bit score desc, and emit the
-    buffered results in their original order."""
+    ACROSS the result stream AND overlapped with it: buffer results until
+    `flush_pairs` (query, subject) pairs accumulate, DISPATCH the Pallas
+    wavefront batch asynchronously, keep collecting further search results
+    while it runs on device, and resolve a flush only when the next one has
+    been dispatched (or at stream end).  Each result's hits re-sort by bit
+    score desc; buffered results emit in their original order."""
+    from collections import deque
+
+    pending = deque()  # (buf, hit_refs, align handle) -- one kept in flight
     buf: List[QueryResult] = []
     n_pairs = 0
     for qr in results:
         buf.append(qr)
         n_pairs += sum(1 for h in qr.Hits if h.Key in qr.HitEntries)
         if n_pairs >= flush_pairs:
-            yield from _align_flush(engine, buf, opts)
+            pending.append(_align_dispatch(engine, buf, opts))
             buf, n_pairs = [], 0
+            if len(pending) >= 2:
+                yield from _align_resolve(pending.popleft())
     if buf:
-        yield from _align_flush(engine, buf, opts)
+        pending.append(_align_dispatch(engine, buf, opts))
+    while pending:
+        yield from _align_resolve(pending.popleft())
 
 
-def _align_flush(engine: SearchEngine, buf: List[QueryResult],
-                 opts: SearchOptions):
+def _align_dispatch(engine: SearchEngine, buf: List[QueryResult],
+                    opts: SearchOptions):
     from ..ops import swalign
 
     pairs = []
@@ -428,16 +437,25 @@ def _align_flush(engine: SearchEngine, buf: List[QueryResult],
                 pairs.append((qr.Query.Sequence,
                               qr.HitEntries[h.Key].Sequence))
                 hit_refs.append(h)
+    handle = None
     if pairs:
         try:
-            results = swalign.align_batch(
+            handle = swalign.align_batch_dispatch(
                 pairs, engine.art.stats,
                 opts.SubMatrix, opts.GapOpen, opts.GapExtend,
             )
-            for h, res in zip(hit_refs, results):
-                h.Alignment = res
         except swalign.NoMatrixError:
             pass  # hits keep zero alignments (reference's untouched struct)
+    return buf, hit_refs, handle
+
+
+def _align_resolve(flush):
+    from ..ops import swalign
+
+    buf, hit_refs, handle = flush
+    if handle is not None:
+        for h, res in zip(hit_refs, swalign.align_batch_resolve(handle)):
+            h.Alignment = res
     for qr in buf:
         # hits without a DB entry keep Alignment=None (zero BitScore); the
         # sort is stable, so zero-score hits keep their kmatch order
