@@ -374,16 +374,18 @@ class ShardedSearchEngine(PositionBitmapServing):
     def _quantized_groups(self, cap: int, B: int, hot: bool,
                           L: int) -> List[int]:
         """Group widths schedule_batch can emit for (cap, hot, L) -- the
-        {16, 256, 2048} quantization (mult-aligned), budget-clamped; warmup
-        iterates exactly this set."""
+        engine.G_QUANTA quantization (mult-aligned), budget-clamped;
+        warmup iterates exactly this set."""
         g_budget = max(self._g_min(),
                        1 << ((self.dp * MAX_EXPANSION_ELEMS // cap)
                              .bit_length() - 1))
         if hot:
             g_budget = min(g_budget, self._hot_g_max(L))
         gm = self._g_min()
+        from ..search.engine import G_QUANTA
+
         out = [gm]
-        for g in (256, 2048):
+        for g in G_QUANTA:
             if g > gm and g % self.mult == 0 and g <= min(g_budget, B):
                 out.append(g)
         return out

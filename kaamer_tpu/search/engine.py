@@ -101,6 +101,12 @@ HOT_DENSE_BYTES = 1 << 30
 # a tail UP to a wider quantized group only when the padding rows it adds
 # cost less than the dispatches it saves.
 DISPATCH_COST_ROWS = 1 << 16
+# Quantized phase-2 group widths: every (G, cap) pair is a 20-60s remote
+# compile on a tunneled chip, so widths stay coarse -- but heavy caps need
+# a width between 16 and 256: at cap ~16-40k a 256-query window spans a
+# wide totals quantile and measured 55% expansion padding (SCALE_FLOOR_r04
+# hot cap<=32768 class); G=64 keeps those chunks near their own quantile.
+G_QUANTA = (16, 64, 256, 2048)
 # A HOT chunk additionally streams the FULL membership matrix M (3.8 GB at
 # 1M proteins ~= 4.6 ms) and materializes/ranks its counts_hot slab --
 # measured +6 ms (G=16) to +20 ms (G=256) per chunk on the skewed-1M
@@ -561,7 +567,7 @@ class SearchEngine(PositionBitmapServing):
         g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap).bit_length() - 1)
         if hot and self.hot_starts is not None:
             g_budget = min(g_budget, self._hot_g_max(L))
-        return [g for g in (16, 256, 2048) if g <= min(g_budget, B) or g == 16]
+        return [g for g in G_QUANTA if g <= min(g_budget, B) or g == 16]
 
     def schedule_batch(self, handle):
         """Schedule phase 2 from the batch's exact totals: group queries,
@@ -636,7 +642,7 @@ class SearchEngine(PositionBitmapServing):
                 # the dense hot path's [G, P_pad] / [G, L, H] intermediates
                 # are budgeted separately (HOT_DENSE_BYTES)
                 g_budget = min(g_budget, self._hot_g_max(L))
-            return [g for g in (16, 256, 2048)
+            return [g for g in G_QUANTA
                     if g <= min(g_budget, B) or g == 16]
 
         def hot_extra_rows():

@@ -546,10 +546,10 @@ def test_scheduler_coalesces_small_cap_tails(synth_db):
     res = engine.count_batch(queries, sizes, k=8)
     engine._dispatch_group = orig
 
-    # B pads to 512 -> allowed widths {16, 256}: 300 same-class queries
-    # must dispatch as exactly ceil(300/256) = 2 groups, both at G=256
+    # 300 same-class queries must dispatch as exactly 2 quantized groups
+    # (e.g. 256 + a 44-tail in the next width down), never a G=16 cascade
     assert len(calls) == 2, calls
-    assert all(G == 256 for _, G, _ in calls), calls
+    assert all(G >= 64 for _, G, _ in calls), calls
     assert sum(n for n, _, _ in calls) >= 300
 
     # and results still match the oracle
