@@ -113,6 +113,11 @@ class DBArtifact:
             Features=json.loads(feats) if feats else {},
         )
 
+    def entry_id(self, row: int) -> str:
+        """Entry-id string alone (no feature-JSON decode): the plain-TSV
+        serving path needs only this per hit, and protein() costs ~10x."""
+        return self._entry_ids.get_str(row)
+
     def row_for_id(self, external_id: int) -> Optional[int]:
         if not self._row_of_id:
             self._row_of_id = {int(v): i for i, v in enumerate(self.protein_ids)}

@@ -62,6 +62,18 @@ def run_search(engine: SearchEngine, opts: SearchOptions,
     else:
         yield fmt.json_prologue(opts, db_stats).encode()
 
+    # translated-read fast path: the plain TSV shape (no positions, no
+    # annotations, no alignment) needs only entry-id strings and a handful
+    # of scalars per hit, so per-ORF QueryRecord/Hit/QueryResult
+    # construction, bitmap dicts and full Protein decodes are skipped
+    # entirely (byte-identical output, differentially tested)
+    if (LEAN_NT_TSV and opts.OutFormat == "tsv" and not opts.Align
+            and not opts.ExtractPositions and not opts.Annotations
+            and opts.SequenceType in (NUCLEOTIDE, READS)):
+        yield from _nucleotide_search_lean_tsv(
+            engine, opts, fastq=opts.SequenceType == READS, cancel=cancel)
+        return
+
     results = iter_query_results(engine, opts, cancel=cancel)
     if opts.Align:
         # accumulate (query, subject) pairs ACROSS queries so the Pallas
@@ -251,45 +263,52 @@ def _fetch_entries(engine: SearchEngine, qr: QueryResult) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _orf_item_stream(records, gcode: int):
+    """Per-ORF work items (seq, n_kmers, record, sp, ep, plus, alts):
+    plain tuples, because most ORFs are discarded by the MinKMatch gate
+    downstream and never need QueryRecord/Location objects (object
+    construction dominated the fastq host profile).  Records are
+    ORF-scanned in chunks so the native batch scanner amortizes its call
+    overhead."""
+    from .orf import get_orf_tuples_batch
+
+    # large chunks amortize the native scanner's per-call thread spawn
+    # (~1 ms); 2048 reads scan in a few ms and stay well ahead of the
+    # device pipeline
+    CHUNK = 2048
+    pending = []
+
+    def emit(pending):
+        # min_kmers=1: unsearchable ORFs are gated vectorized inside the
+        # scanner, before any Python string is built for them
+        batch = get_orf_tuples_batch([r.Sequence for r in pending],
+                                     gcode, min_kmers=1)
+        for rec, orfs in zip(pending, batch):
+            for seq, n, sp, ep, plus, alts in orfs:
+                yield (seq, n, rec, sp, ep, plus, alts)
+
+    for rec in records:
+        pending.append(rec)
+        if len(pending) >= CHUNK:
+            yield from emit(pending)
+            pending = []
+    if pending:
+        yield from emit(pending)
+
+
+def _nt_records(opts: SearchOptions, fastq: bool):
+    if fastq:
+        return read_fastq_queries(opts.File)
+    return read_fasta_queries(opts.File, is_protein=False)
+
+
 def nucleotide_search(
     engine: SearchEngine, opts: SearchOptions, fastq: bool, cancel=None
 ) -> Iterator[QueryResult]:
-    if fastq:
-        records = read_fastq_queries(opts.File)
-    else:
-        records = read_fasta_queries(opts.File, is_protein=False)
+    records = _nt_records(opts, fastq)
 
     def orf_items():
-        """Per-ORF work items (seq, n_kmers, record, sp, ep, plus, alts):
-        plain tuples, because most ORFs are discarded by the MinKMatch gate
-        below and never need QueryRecord/Location objects (object
-        construction dominated the fastq host profile).  Records are
-        ORF-scanned in chunks so the native batch scanner amortizes its
-        call overhead."""
-        from .orf import get_orf_tuples_batch
-
-        # large chunks amortize the native scanner's per-call thread spawn
-        # (~1 ms); 2048 reads scan in a few ms and stay well ahead of the
-        # device pipeline
-        CHUNK = 2048
-        pending = []
-
-        def emit(pending):
-            # min_kmers=1: unsearchable ORFs are gated vectorized inside the
-            # scanner, before any Python string is built for them
-            batch = get_orf_tuples_batch([r.Sequence for r in pending],
-                                         opts.GeneticCode, min_kmers=1)
-            for rec, orfs in zip(pending, batch):
-                for seq, n, sp, ep, plus, alts in orfs:
-                    yield (seq, n, rec, sp, ep, plus, alts)
-
-        for rec in records:
-            pending.append(rec)
-            if len(pending) >= CHUNK:
-                yield from emit(pending)
-                pending = []
-        if pending:
-            yield from emit(pending)
+        yield from _orf_item_stream(records, opts.GeneticCode)
 
     ext_ids = np.asarray(engine.art.protein_ids)
 
@@ -387,6 +406,115 @@ def nucleotide_search(
                     }
                 _fetch_entries(engine, qr)
                 yield qr
+
+
+# Kill switch for the lean translated-read TSV path (tests force the
+# generic path through here to assert byte-identity).
+LEAN_NT_TSV = True
+
+
+def _nucleotide_search_lean_tsv(engine: SearchEngine, opts: SearchOptions,
+                                fastq: bool, cancel=None) -> Iterator[bytes]:
+    """Translated search for the plain-TSV shape, emitting row BYTES
+    directly: same gate (search_nucleotide.go:116), start-codon refinement
+    (dna.go:198-272 incl. the shared exit-flag quirk), FilterResults prefix
+    semantics (search.go:189-220) and row layout (search.go:497-607) as the
+    generic path -- minus all per-ORF object construction.  Byte-identity
+    with the generic path is asserted by tests/test_fastq_nt.py."""
+    from operator import itemgetter
+
+    records = _nt_records(opts, fastq)
+    art = engine.art
+    min_km = opts.MinKMatch
+    min_ratio = opts.MinKRatio
+    max_res = opts.MaxResults
+    k = max(max_res, 1)
+
+    # entry-id strings, not Protein records: the only per-hit DB read here
+    eids: Dict[int, str] = {}
+
+    def eid(row: int) -> str:
+        v = eids.get(row)
+        if v is None:
+            if len(eids) >= _ENTRY_CACHE_MAX:
+                eids.clear()
+            v = eids[row] = art.entry_id(row)
+        return v
+
+    pct = fmt._f32_pct
+    for batch, counts in _pipelined(engine,
+                                    _batched(_orf_item_stream(
+                                        records, opts.GeneticCode),
+                                        size_of=itemgetter(1)),
+                                    k, positions=True, cancel=cancel,
+                                    seq_of=itemgetter(0),
+                                    size_of=itemgetter(1),
+                                    min_top=min_km):
+        parts: List[str] = []
+        for item, qc in zip(batch, counts):
+            if qc is None or qc.counts.size == 0 \
+                    or int(qc.counts[0]) < min_km:
+                continue
+            seq, size, rec, sp, ep, plus, alts = item
+            kml = qc.counts.tolist()
+            # start-codon refinement (set_best_start_codon semantics on raw
+            # arrays): find the first matched k-mer among top-tie hits'
+            # bitmaps, honoring the reference's shared exit flag -- later
+            # tie hits are only consulted at position 0
+            if len(alts) > 1:
+                top = kml[0]
+                first_pos = 999999999
+                exit_flag = False
+                bmq = qc._bitmaps
+                for j, km in enumerate(kml):
+                    if km < top:
+                        break
+                    if bmq is not None:
+                        bm = bmq[j, :size]
+                    else:  # host-fallback rows carry no device bitmaps
+                        r = int(qc.hit_rows[j])
+                        bm = engine.position_bitmaps_np(qc, [r]).get(
+                            r, np.zeros(0, bool))
+                    if bm.size == 0:
+                        continue
+                    if exit_flag:
+                        if bm[0]:
+                            first_pos = 0
+                    else:
+                        i = int(bm.argmax())
+                        if bm[i]:
+                            first_pos = min(first_pos, i)
+                            exit_flag = True
+                best_start = alts[0]
+                for s in alts:
+                    if s <= first_pos:
+                        best_start = s
+                    else:
+                        break
+                if best_start != alts[0]:
+                    sp = sp + 3 * best_start if plus else sp - 3 * best_start
+                    seq2 = seq[best_start:]
+                    size = len(seq2) - KMER_SIZE + 1
+                    if seq2.endswith("*"):
+                        size -= 1
+            # FilterResults prefix + MaxResults cap
+            good = 0
+            for km in kml:
+                if (km / size if size else 0.0) < min_ratio or km < min_km:
+                    break
+                good += 1
+            good = min(good, max_res)
+            if not good:
+                continue
+            qname = rec.Name.split(" ", 1)[0]
+            rows_np = qc.hit_rows
+            tail = f"\tN/A\t{sp}\t{ep}\t1\tN/A\n"
+            for j in range(good):
+                km = kml[j]
+                parts.append(f"{qname}\t{eid(int(rows_np[j]))}\t"
+                             f"{pct(km, size)}\t{size}\t{km}{tail}")
+        if parts:
+            yield "".join(parts).encode()
 
 
 # ---------------------------------------------------------------------------

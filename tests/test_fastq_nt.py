@@ -96,3 +96,46 @@ def test_gcode_option_changes_translation(db, tmp_path):
     # table 11 opens an ORF at the ctg; table 6 does not (different QStart
     # or no hit row at all)
     assert rows[11] != rows[6]
+
+
+def test_lean_tsv_path_byte_identical(db, tmp_path):
+    """The plain-TSV translated-read fast path (pipeline.LEAN_NT_TSV) must
+    produce byte-identical output to the generic QueryResult path across
+    both strands, multi-ORF reads, start-codon refinement (reads with
+    internal Met/alt starts) and hit filtering."""
+    from kaamer_tpu.search import pipeline
+
+    engine, seqs = db
+    rng = np.random.default_rng(77)
+    reads = []
+    for i in range(60):
+        src = seqs[int(rng.integers(0, len(seqs)))]
+        start = int(rng.integers(0, max(len(src) - 45, 1)))
+        # inject Met/Leu so alternative starts exist and refinement runs
+        frag = "MV" + src[start : start + 40] + "LM"
+        dna = "taa" + encode_protein(frag) + "taa"
+        if i % 3 == 0:  # minus strand
+            comp = {"a": "t", "t": "a", "g": "c", "c": "g"}
+            dna = "".join(comp[c] for c in reversed(dna))
+        if i % 5 == 0:  # junk read (gated out)
+            dna = "".join(rng.choice(list("acgt"), size=len(dna)))
+        reads.append(dna)
+
+    for ext, content in (
+        ("fq", "".join(f"@r{i}\n{d}\n+\n{'I' * len(d)}\n"
+                       for i, d in enumerate(reads))),
+        ("fasta", "".join(f">c{i} nt\n{d}\n" for i, d in enumerate(reads))),
+    ):
+        p = tmp_path / f"reads.{ext}"
+        p.write_text(content)
+        opts = SearchOptions(
+            File=str(p), OutFormat="tsv", MaxResults=3,
+            SequenceType=READS if ext == "fq" else NUCLEOTIDE)
+        lean = b"".join(run_search(engine, opts))
+        pipeline.LEAN_NT_TSV = False
+        try:
+            generic = b"".join(run_search(engine, opts))
+        finally:
+            pipeline.LEAN_NT_TSV = True
+        assert lean == generic
+        assert lean.count(b"\n") > 10  # real rows compared, not two headers
