@@ -216,7 +216,10 @@ def bench_fastq(engine, art, rng, tmpdir: str) -> float:
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
-        n_out = sum(1 for _ in run_search(engine, opts))
+        # the lean TSV path yields one bytes chunk per device batch, so
+        # count result ROWS (newlines beyond the header), not chunks
+        n_out = sum(chunk.count(b"\n") for chunk in
+                    run_search(engine, opts)) - 1
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     assert n_out > n_reads // 2, f"fastq bench found too few hits ({n_out})"
