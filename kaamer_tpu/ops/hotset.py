@@ -51,9 +51,6 @@ MIN_HOT_LEN = 24
 # while the added dense flops ride the MXU (see hot_matmul).  H scales
 # down with P automatically; there is deliberately NO hard P cutoff here.
 M_BYTES_BUDGET = 1 << 32
-# the sharded engine's host-side per-shard M staging still uses a P gate
-# (it materializes [n_shards, H, P] on host); see parallel/dist._init_hot
-P_MAX = 1 << 18
 
 
 def select_hot_sets(set_offsets: np.ndarray, num_proteins: int,

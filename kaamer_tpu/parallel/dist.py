@@ -554,16 +554,50 @@ class ShardedSearchEngine(PositionBitmapServing):
                             except Exception:
                                 pass
 
+    def _host_bitmaps_np(self, qc, hit_rows):
+        """Host position bitmaps; shard-built artifacts aggregate per-shard
+        probes (a split set's sub-slices live on every shard: membership is
+        the OR over shards).  The global-artifact layout keeps the 1-D
+        base-class path (its host probe resolves full sets)."""
+        if not getattr(self.art, "index_shards", 0):
+            return super()._host_bitmaps_np(qc, hit_rows)
+        from ..ops.count import member_np
+
+        hits = np.asarray(list(hit_rows), dtype=np.uint32)
+        if hits.size == 0 or qc._n_kmers == 0:
+            return {}
+        if qc._offs is not None and getattr(qc._offs, "ndim", 1) == 2:
+            offs_all, lens_all = qc._offs, qc._lens
+        else:
+            offs_all = qc._batch.host()[:, qc._row, : qc._n_kmers].astype(
+                np.int64)
+            starts = self.set_starts_np
+            ids = np.searchsorted(starts, offs_all, side="left")
+            lens_all = starts[ids + 1] - starts[ids]
+        found = None
+        for s in range(offs_all.shape[0]):
+            f = member_np(self.postings_np, offs_all[s], lens_all[s], hits)
+            found = f if found is None else (found | f)
+        return {int(h): found[j] for j, h in enumerate(hits)}
+
     def _count_host_row(self, slices: "_LazyBatchSlices", i: int,
                         n_kmers: int, k: int):
         """Unbounded host fallback (np.bincount) for postings-heavy queries,
-        over the GLOBAL artifact (bit-identical to the single-chip one)."""
-        offs = slices.host()[i, :n_kmers].astype(np.int64)
+        over the GLOBAL artifact (bit-identical to the single-chip one).
+        Shard-built artifacts probe per shard (slices.stacked): each k-mer's
+        set is the UNION of its per-shard sub-slices (split sets live on
+        every shard), so segs accumulate over the shard axis too."""
+        if slices.stacked:
+            offs = slices.host()[:, i, :n_kmers].astype(np.int64)  # [S, n]
+        else:
+            offs = slices.host()[i, :n_kmers].astype(np.int64)[None]
         starts = self.set_starts_np
         ids = np.searchsorted(starts, offs, side="left")
         lens = starts[ids + 1] - starts[ids]
         segs = [self.postings_np[int(o): int(o) + int(l)]
-                for o, l in zip(offs, lens) if l > 0]
+                for o, l in zip(offs.ravel(), lens.ravel()) if l > 0]
+        if not slices.stacked:  # 1-D contract of the base-class host paths
+            offs, lens = offs[0], lens[0]
         if segs:
             rows = np.concatenate(segs)
             bc = np.bincount(rows)
@@ -586,9 +620,10 @@ class _ConcatPostings:
     (shard-built artifacts never materialize a global postings array: the
     whole point of index_db(n_shards > 1) is that the global size exceeds
     uint32 addressing / host RAM).  Supports exactly the access patterns of
-    the host fallbacks: len(), contiguous slices (postings set slices never
-    cross a shard boundary -- sets are routed whole, index/build.py), and
-    fancy integer indexing (ops/count.py:member_np binary search probes)."""
+    the host fallbacks: len(), contiguous slices (a shard-LOCAL postings
+    slice -- a whole owned set or one shard's sub-slice of a split set --
+    never crosses a shard boundary, index/build.py), and fancy integer
+    indexing (ops/count.py:member_np binary search probes)."""
 
     def __init__(self, parts: List[np.ndarray]):
         self.parts = parts
@@ -633,13 +668,21 @@ class _LazyBatchSlices:
     """Per-batch lazy global k-mer -> slice-start resolution for position
     lookups: one vectorized host probe of the global artifact table for the
     whole batch, computed only if some query actually needs position bitmaps
-    (mirrors the single-chip engine's lazy device-offs pull)."""
+    (mirrors the single-chip engine's lazy device-offs pull).
+
+    Shard-built artifacts have no global table, so every shard table is
+    probed and `stacked` is True: host() is then [n_shards, B, L], one row
+    of rebased slice starts per shard.  A k-mer can legitimately hit on
+    EVERY shard -- long sets split contiguously across all of them
+    (mesh.split_set_mask) -- so the per-shard hits must be aggregated, not
+    overwritten; consumers sum counts / OR bitmaps over axis 0."""
 
     def __init__(self, engine: "ShardedSearchEngine", seqs, sizes):
         self._engine = engine
         self._seqs = seqs
         self._sizes = sizes
         self._offs = None
+        self.stacked = bool(getattr(engine.art, "index_shards", 0))
 
     def host(self) -> np.ndarray:
         if self._offs is None:
@@ -653,21 +696,23 @@ class _LazyBatchSlices:
             codes = codec.pad_codes_batch(self._seqs, width)
             kmers = codec.encode_kmers_batch(codes.astype(np.int32))  # [B, L]
             flat = kmers.reshape(-1)
-            if getattr(eng.art, "index_shards", 0):
-                # no global table exists: probe every shard table (a k-mer
-                # lives on exactly one shard -- set-identity routing) and
-                # rebase local hits into the virtual-global postings concat
+            lane = np.arange(L)[None, :]
+            sizes = np.asarray(self._sizes)[:, None]
+            in_q = lane < sizes
+            if self.stacked:
                 if not hasattr(eng, "_ht"):
                     eng._ht = [CuckooTable(table=np.asarray(t),
                                            log2=eng.art.hash_log2)
                                for t in eng.art.shard_tables]
-                starts = np.full(flat.shape, miss, dtype=np.int64)
+                offs = np.full((len(eng._ht),) + kmers.shape, miss,
+                               dtype=np.int64)
                 for s, ht in enumerate(eng._ht):
                     st_s, ln_s = lookup_np(ht, flat, miss_start=0)
-                    hit = ln_s > 0
-                    starts[hit] = (st_s[hit].astype(np.int64)
-                                   + int(eng._post_bases[s]))
-                starts = starts.reshape(kmers.shape)
+                    hit = (ln_s > 0).reshape(kmers.shape) & in_q
+                    starts = (st_s.astype(np.int64).reshape(kmers.shape)
+                              + int(eng._post_bases[s]))
+                    offs[s][hit] = starts[hit]
+                self._offs = offs
             else:
                 if not hasattr(eng, "_ht"):
                     eng._ht = CuckooTable(
@@ -676,7 +721,5 @@ class _LazyBatchSlices:
                     )
                 starts, _ = lookup_np(eng._ht, flat, miss_start=miss)
                 starts = starts.reshape(kmers.shape).astype(np.int64)
-            lane = np.arange(L)[None, :]
-            sizes = np.asarray(self._sizes)[:, None]
-            self._offs = np.where(lane < sizes, starts, np.int64(miss))
+                self._offs = np.where(in_q, starts, np.int64(miss))
         return self._offs

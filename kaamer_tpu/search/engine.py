@@ -561,7 +561,7 @@ class SearchEngine(PositionBitmapServing):
     def _quantized_groups(self, cap: int, B: int, hot: bool,
                           L: int) -> List[int]:
         """The group widths schedule_batch can emit for this (cap, hot, L):
-        {16, 256, 2048} clamped by the expansion and dense-path budgets.
+        G_QUANTA clamped by the expansion and dense-path budgets.
         warmup iterates exactly this set, so a warmed engine never compiles
         a new phase-2 shape at serving time."""
         g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap).bit_length() - 1)
@@ -633,8 +633,8 @@ class SearchEngine(PositionBitmapServing):
             chunks.append((rows, self.RERUN_B, cap_c, any_hot(rows)))
 
         # the bulk: shared cost-model chunker (see _plan_normal_chunks); G
-        # stays quantized to {16, 256, 2048} -- every extra (G, cap) pair
-        # is a 20-60s remote compile on a tunneled chip
+        # stays quantized to G_QUANTA -- every extra (G, cap) pair is a
+        # 20-60s remote compile on a tunneled chip
         def groups_for(cap_c, hot0):
             g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap_c
                                      ).bit_length() - 1) if not cap_pin else B

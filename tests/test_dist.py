@@ -420,3 +420,47 @@ def test_split_sets_balance_cold_expansion(tmp_path):
     nz = single_totals > 0
     balance = (tsum[nz] / (8 * np.maximum(tmax[nz], 1))).mean()
     assert balance >= 0.5, f"8-shard cold expansion balance {balance:.3f}"
+
+
+def test_shard_built_split_set_host_paths_match_single(tmp_path):
+    """Regression (r4 review): on a shard-BUILT artifact a split set's
+    k-mer hits on EVERY shard; the host-side probe must aggregate the
+    per-shard sub-slices (sum counts, OR bitmaps), not keep the last
+    shard's.  Exercises both the exact host-bincount fallback and host
+    position bitmaps against the single-chip engine."""
+    rng = np.random.default_rng(41)
+    dom = "".join(rng.choice(list(AA), size=45))  # shared by most proteins
+    seqs = []
+    fasta = tmp_path / "in.fasta"
+    with open(fasta, "w") as f:
+        for i in range(70):
+            s = dom + "".join(rng.choice(list(AA),
+                                         size=int(rng.integers(20, 50))))
+            seqs.append(s)
+            f.write(f">B{i} split {i}\n{s}\n")
+    gdir, sdir = str(tmp_path / "g"), str(tmp_path / "s")
+    build_db(gdir, str(fasta), "fasta")
+    build_db(sdir, str(fasta), "fasta", n_shards=4)
+    g, s = load_db(gdir), load_db(sdir)
+    # the shared-domain set really is split: every shard carries a piece
+    import numpy as _np
+    lens0 = [_np.diff(_np.asarray(o).astype(_np.int64))
+             for o in s.shard_set_offsets]
+    assert all((l >= 8).any() for l in lens0)
+
+    queries = [dom + seqs[3][45:60], seqs[10], seqs[33][:52]]
+    sizes = [len(q) - 6 for q in queries]
+    single = SearchEngine(g)
+    want = single.count_batch(queries, sizes, k=8)
+
+    eng = ShardedSearchEngine(s, mesh=global_mesh(4))
+    eng.CAP_MAX = 2
+    eng.CAP_MIN = 2
+    eng._cap_hint = 2  # force every query through the host bincount
+    got = eng.count_batch(queries, sizes, k=8)
+    for qw, qg in zip(want, got):
+        assert np.array_equal(qw.hit_rows[:8], qg.hit_rows[:8])
+        assert np.array_equal(qw.counts[:8], qg.counts[:8])
+        rows = [int(r) for r in qw.hit_rows[:4]]
+        assert eng.position_bitmaps(qg, rows) == \
+            single.position_bitmaps(qw, rows)

@@ -523,11 +523,10 @@ def test_expansion_budget_escalates_outliers(heavy_db, monkeypatch):
 
 
 def test_scheduler_coalesces_small_cap_tails(synth_db):
-    """Dispatch-count regression: same-hotness queries at caps below
-    SMALL_CAP_COALESCE must land in as few phase-2 groups as the {16, 256,
-    2048} quantization permits -- tails round UP to the next width instead
-    of cascading into G=16 chunks (each extra dispatch costs ~0.5-1 ms of
-    host/tunnel time in production)."""
+    """Dispatch-count regression: same-hotness small-cap queries must land
+    in as few phase-2 groups as the G_QUANTA quantization permits -- tails
+    round UP to the next width instead of cascading into G=16 chunks (each
+    extra dispatch costs ~2.5-3 ms of fixed cost in production)."""
     art, oracle, seqs = synth_db
     engine = SearchEngine(art, hot=False)
     rng = np.random.default_rng(12)
