@@ -82,7 +82,11 @@ for i in range(0, len(reads), 2048):
 out["orf_scan_s"] = round(time.perf_counter() - t0, 3)
 out["n_orfs"] = n_orfs
 
-# --- full pipeline under cProfile -------------------------------------------
+# --- full pipeline: uninstrumented wall, then under cProfile -----------------
+t0 = time.perf_counter()
+rows_out = sum(c.count(b"\n") for c in run_search(engine, opts))
+wall_plain = time.perf_counter() - t0
+
 t0 = time.perf_counter()
 prof = cProfile.Profile()
 prof.enable()
@@ -90,7 +94,9 @@ n_results = sum(1 for _ in run_search(engine, opts))
 prof.disable()
 wall = time.perf_counter() - t0
 out["n_results"] = n_results
+out["result_rows"] = rows_out
 out["cpu_backend_wall_s"] = round(wall, 3)
+out["cpu_backend_wall_unprofiled_s"] = round(wall_plain, 3)
 
 BUCKETS = {
     "device_wait_or_cpu_compute": ("array.py", "_value", "pjit", "pxla",
@@ -117,12 +123,18 @@ for (fn, line, name), (cc, nc, tt, ct, callers) in st.stats.items():
         phases["other_python"] += tt
 
 host_s = total - phases["device_wait_or_cpu_compute"]
+# cProfile adds per-call overhead to every Python bucket; calibrate the
+# uninstrumented host cost as (plain wall) - (device compute measured under
+# the profiler, which is C-side and barely instrumented)
+host_plain = max(wall_plain - phases["device_wait_or_cpu_compute"], 1e-6)
 out["profile"] = {
     "total_s": round(total, 3),
     "phases_s": {k: round(v, 3) for k, v in phases.items()},
     "host_python_s": round(host_s, 3),
     "host_us_per_read": round(host_s / N * 1e6, 1),
     "host_bound_reads_per_s": round(N / host_s, 1),
+    "host_python_unprofiled_s": round(host_plain, 3),
+    "host_bound_reads_per_s_unprofiled": round(N / host_plain, 1),
 }
 out["read_as"] = (
     "host_python_s excludes device wait (overlapped by the depth-4 "
