@@ -139,3 +139,28 @@ def test_lean_tsv_path_byte_identical(db, tmp_path):
             pipeline.LEAN_NT_TSV = True
         assert lean == generic
         assert lean.count(b"\n") > 10  # real rows compared, not two headers
+
+
+def test_lean_tsv_path_is_engaged_by_default(db, tmp_path, monkeypatch):
+    """The high-volume serving shape (tsv, no positions/annotations/align)
+    must actually route through the lean path -- guard against an option
+    plumbing change silently falling back to the generic object path."""
+    from kaamer_tpu.search import pipeline
+
+    engine, seqs = db
+    fq = tmp_path / "r.fq"
+    read = "taa" + encode_protein(seqs[2][:30]) + "taa"
+    fq.write_text(f"@r0\n{read}\n+\n{'I' * len(read)}\n")
+
+    called = []
+    orig = pipeline._nucleotide_search_lean_tsv
+
+    def spy(*a, **kw):
+        called.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "_nucleotide_search_lean_tsv", spy)
+    out = b"".join(run_search(engine, SearchOptions(
+        File=str(fq), SequenceType=READS)))
+    assert called, "lean TSV path not engaged for default read search"
+    assert out.count(b"\n") >= 2  # header + the hit row
