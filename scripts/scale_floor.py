@@ -196,6 +196,16 @@ t_g = timed(run_gather)
 out["gather_ref_rows_per_s_m"] = round(
     G_ref * cap_ref * n_loop / t_g / 1e6, 1)
 
+# --- schedule host time, post-compile ----------------------------------------
+handles2 = [engine.dispatch_batch(q, s, k=10) for q, s in batches()]
+jax.device_get([h[0][5] for h in handles2])  # totals ready
+t0 = time.perf_counter()
+scheds2 = [engine.schedule_batch(h) for h in handles2]
+out["schedule_host_warm_s_all_batches"] = round(time.perf_counter() - t0, 4)
+for s_ in scheds2:
+    engine.collect_batch(s_)
+
+
 # --- end to end ---------------------------------------------------------------
 def run_full():
     hs = [engine.dispatch_batch(q, s, k=10) for q, s in batches()]
