@@ -76,7 +76,7 @@ def gather_postings(postings, offs, cum, total, cap: int, wstart=None):
     return rows, seg_cl, valid, jnp.where(valid, w, 0)
 
 
-def sort_rle(rows, weights=None):
+def sort_rle(rows, weights=None, pack_w_bits: int = 0):
     """Sort each query's row multiset and run-length-encode it.
 
     rows: uint32[B, cap]; weights: optional int32[B, cap] per-entry
@@ -85,10 +85,30 @@ def sort_rle(rows, weights=None):
     Returns (s uint32[B, cap] sorted rows, counts int32[B, cap] with each
     run's total at its start lane and 0 elsewhere, is_start bool[B, cap];
     sentinels excluded).
+
+    pack_w_bits > 0: sort ONE uint32 key (row << bits | weight) instead of
+    the two-operand (rows, weights) comparator sort -- XLA:TPU's
+    single-operand sort is the fast path.  Callers must guarantee every
+    real row < 2^(32-bits) - 1 and every weight < 2^bits (weights are
+    position-run lengths <= L, so the engine picks bits from the static L
+    and checks num_proteins; see engine._pack_w_bits).  Row order is
+    unchanged (equal rows tie-break by weight, and RLE sums per-run
+    weights, which is order-invariant), so results are bit-identical.
     """
     cap = rows.shape[1]
     if weights is None:
         s = jnp.sort(rows, axis=1)
+    elif pack_w_bits:
+        shift = jnp.uint32(pack_w_bits)
+        mask = jnp.uint32((1 << pack_w_bits) - 1)
+        packed = jnp.where(
+            rows == ROW_SENTINEL, jnp.uint32(0xFFFFFFFF),
+            (rows.astype(jnp.uint32) << shift)
+            | weights.astype(jnp.uint32))
+        ps = jnp.sort(packed, axis=1)
+        sent = ps == jnp.uint32(0xFFFFFFFF)
+        s = jnp.where(sent, ROW_SENTINEL, ps >> shift)
+        w = jnp.where(sent, 0, (ps & mask).astype(jnp.int32))
     else:
         s, w = jax.lax.sort((rows, weights.astype(jnp.int32)), num_keys=1)
 
@@ -120,11 +140,11 @@ def sort_rle(rows, weights=None):
     return s, counts, is_start
 
 
-def count_topk(rows, k: int, weights=None):
+def count_topk(rows, k: int, weights=None, pack_w_bits: int = 0):
     """Sort + RLE + top-k (count, row) pairs; see sort_rle.  Returns
     (counts int32[B, k], hit_rows uint32[B, k]); absent entries have
     count 0, row ROW_SENTINEL."""
-    s, counts, _ = sort_rle(rows, weights)
+    s, counts, _ = sort_rle(rows, weights, pack_w_bits=pack_w_bits)
     top_counts, top_pos = jax.lax.top_k(counts, k)
     hit_rows = jnp.take_along_axis(s, top_pos, axis=1)
     hit_rows = jnp.where(top_counts > 0, hit_rows, ROW_SENTINEL)

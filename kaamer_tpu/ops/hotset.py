@@ -217,13 +217,16 @@ def topk_dense(vals, k: int, direct_max: int = 4096):
 
 
 def merge_hot_cold(counts_hot, s_rows, cold_counts, is_start, k: int,
-                   k_hot: int = 0):
+                   k_hot: int = 0, pack_w_bits: int = 0):
     """Exact top-k of total = hot + cold counts via the candidate union.
 
     counts_hot:  f32[G, P_pad] dense hot counts (W @ M)
     s_rows:      uint32[G, cap] SORTED cold row multiset (ROW_SENTINEL pad)
     cold_counts: int32[G, cap]  RLE count at run starts (0 elsewhere)
     is_start:    bool[G, cap]   run-start lanes of s_rows
+    pack_w_bits: as in ops/count.sort_rle -- totals are matched-position
+    counts <= L < 2^bits, so the union re-sort can ride the single-operand
+    fast path under the same row-range guarantee.
     Returns (counts int32[G, k], hit_rows uint32[G, k]).
     """
     G, P = counts_hot.shape
@@ -251,7 +254,19 @@ def merge_hot_cold(counts_hot, s_rows, cold_counts, is_start, k: int,
     rows_u = jnp.concatenate(
         [jnp.where(cold_tot > 0, s_rows, ROW_SENTINEL), hot_rows], axis=1)
     tot_u = jnp.concatenate([cold_tot, hot_tot], axis=1)
-    rows_s, tot_s = jax.lax.sort((rows_u, tot_u), num_keys=1)
+    if pack_w_bits:
+        shift = jnp.uint32(pack_w_bits)
+        mask = jnp.uint32((1 << pack_w_bits) - 1)
+        packed = jnp.where(
+            rows_u == ROW_SENTINEL, jnp.uint32(0xFFFFFFFF),
+            (rows_u.astype(jnp.uint32) << shift)
+            | tot_u.astype(jnp.uint32))
+        ps = jnp.sort(packed, axis=1)
+        sent = ps == jnp.uint32(0xFFFFFFFF)
+        rows_s = jnp.where(sent, ROW_SENTINEL, ps >> shift)
+        tot_s = jnp.where(sent, 0, (ps & mask).astype(jnp.int32))
+    else:
+        rows_s, tot_s = jax.lax.sort((rows_u, tot_u), num_keys=1)
     top_counts, top_pos = jax.lax.top_k(tot_s, k)
     hit_rows = jnp.take_along_axis(rows_s, top_pos, axis=1)
     hit_rows = jnp.where(top_counts > 0, hit_rows, ROW_SENTINEL)

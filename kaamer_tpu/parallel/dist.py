@@ -305,9 +305,17 @@ class ShardedSearchEngine(PositionBitmapServing):
 
         key = (cap, k, width, positions, hot)
         if key not in self._group_cache:
+            # single-key sort packing, gated exactly like the single-chip
+            # engine (engine._pack_w_bits): weights/counts <= L fit the low
+            # bits, global protein rows must fit the rest
+            L = width - 6
+            bits = max(int(L).bit_length(), 1)
+            if not (self.art.num_proteins < (1 << (32 - bits)) - 1):
+                bits = 0
             self._group_cache[key] = make_sharded_group(
                 self.mesh, self.sharded.hash_log2, cap=cap, k=k,
-                width=width, positions=positions, hot=hot)
+                width=width, positions=positions, hot=hot,
+                pack_w_bits=bits)
         return self._group_cache[key]
 
     # ------------------------------------------------------------------

@@ -310,11 +310,15 @@ def _or_merge_bitmaps(packed, counts, n_shards: int):
 
 def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
                        width: int = 0, positions: bool = False,
-                       hot: bool = False):
+                       hot: bool = False, pack_w_bits: int = 0):
     """One phase-2 group of the sharded engine: per-shard run-deduplicated
     expansion at `cap`, all_to_all hit merge, weighted RLE count + top-k --
     plus, when hot=True, the dense hot-set path (shard-local W @ M partial
     counts merged exactly via psum_scatter, ops/hotset.py semantics).
+
+    pack_w_bits: single-key sort packing (ops/count.sort_rle); postings
+    carry GLOBAL protein rows on every shard, so the caller gates it on the
+    global num_proteins exactly like the single-chip engine.
 
     Cold signature: fn(tables, postings, codes, n_kmers)
     Hot signature:  fn(tables, postings, hot_thresh, M, MT, hot_starts,
@@ -372,7 +376,8 @@ def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
                 table_b, codes, n_kmers, hash_log2, miss_start, width)
             rows, seg, rows_ex, w_ex = expand_and_merge(
                 postings, offs, lens_u, wstart, None)
-            counts, hit_rows = count_topk(rows_ex, k, weights=w_ex)
+            counts, hit_rows = count_topk(rows_ex, k, weights=w_ex,
+                                          pack_w_bits=pack_w_bits)
             if not positions:
                 return counts, hit_rows
             bits = position_round(rows, seg, run_start, hit_rows, counts, L)
@@ -402,7 +407,8 @@ def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
                 jnp.int32)
             rows, seg, rows_ex, w_ex = expand_and_merge(
                 postings, offs, lens_u, wstart, hot_mask)
-            s_rows, cold_counts, is_start = sort_rle(rows_ex, weights=w_ex)
+            s_rows, cold_counts, is_start = sort_rle(
+                rows_ex, weights=w_ex, pack_w_bits=pack_w_bits)
             W = hot_weights(offs, whot, hstarts)
             partial = hot_matmul(W, M, max_w=offs.shape[1])
             # every posting lives on exactly one shard, so summing the
@@ -412,7 +418,8 @@ def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
                                               scatter_dimension=0,
                                               tiled=True)
             counts, hit_rows = merge_hot_cold(counts_hot, s_rows,
-                                              cold_counts, is_start, k)
+                                              cold_counts, is_start, k,
+                                              pack_w_bits=pack_w_bits)
             if not positions:
                 return counts, hit_rows
 

@@ -456,11 +456,11 @@ class SearchEngine(PositionBitmapServing):
         )
         self._p2 = jax.jit(
             _phase2_grouped_impl,
-            static_argnames=("cap", "k", "positions"),
+            static_argnames=("cap", "k", "positions", "pack_w_bits"),
         )
         self._p2h = jax.jit(
             _phase2_hot_impl,
-            static_argnames=("cap", "k", "positions"),
+            static_argnames=("cap", "k", "positions", "pack_w_bits"),
         )
         # row selection is jitted separately so _p2's compiled shapes depend
         # only on (G, L, cap, k, positions), not on the source batch size
@@ -708,16 +708,29 @@ class SearchEngine(PositionBitmapServing):
         # bounded), so its bitmap-cost check must use k_full, not k2
         pos_dev = positions and _positions_on_device(
             cap, k_full if hot else k2, L, G)
+        pw = self._pack_w_bits(L)
         if hot:
             outs2 = self._p2h(self.postings, self.M, self.MT,
                               self.hot_starts, *sel, cap=cap, k=k_full,
-                              positions=pos_dev)
+                              positions=pos_dev, pack_w_bits=pw)
         else:
             outs2 = self._p2(self.postings, *sel[:4], cap=cap, k=k2,
-                             positions=pos_dev)
+                             positions=pos_dev, pack_w_bits=pw)
         for arr in outs2:
             arr.copy_to_host_async()
         return outs2, pos_dev
+
+    def _pack_w_bits(self, L: int) -> int:
+        """Single-key sort packing width for this query length: weights and
+        counts are matched-position tallies <= L, so L.bit_length() low bits
+        hold them; rows (protein ids) must fit the remaining 32 bits with
+        the all-ones sentinel excluded.  0 disables packing (two-operand
+        comparator sort) -- only databases beyond ~2^22 proteins at L=512
+        lose the fast path."""
+        bits = max(int(L).bit_length(), 1)
+        if self.art.num_proteins < (1 << (32 - bits)) - 1:
+            return bits
+        return 0
 
     def _count_host_row(self, batch_ids: "_BatchIds", i: int, n_kmers: int, k: int) -> QueryCounts:
         """Unbounded host fallback (np.bincount) for postings-heavy queries."""
@@ -804,15 +817,17 @@ class SearchEngine(PositionBitmapServing):
 
         z = jnp.zeros((G, L), jnp.int32)
         offs = jnp.full((G, L), self.miss_start, jnp.int32)
+        pw = self._pack_w_bits(L)
         if hot:
             self._p2h(self.postings, self.M, self.MT, self.hot_starts,
                       offs, z, z + 1, z, z, cap=cap, k=k_full,
                       positions=pos and _positions_on_device(
-                          cap, k_full, L, G))
+                          cap, k_full, L, G), pack_w_bits=pw)
         else:
             k2 = min(k_full, cap)
             self._p2(self.postings, offs, z, z + 1, z, cap=cap, k=k2,
-                     positions=pos and _positions_on_device(cap, k2, L, G))
+                     positions=pos and _positions_on_device(cap, k2, L, G),
+                     pack_w_bits=pw)
 
 # ---------------------------------------------------------------------------
 # jitted implementation
@@ -863,7 +878,8 @@ def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
 
 
 def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum, wstart,
-                     run_start, whot, *, cap, k, positions=False):
+                     run_start, whot, *, cap, k, positions=False,
+                     pack_w_bits=0):
     """Phase 2 for a group containing hot runs: cold expansion + dense hot
     matmul + exact candidate-union merge (ops/hotset.py).
 
@@ -881,11 +897,12 @@ def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum, wstart,
     total = cum[:, -1]
     rows, seg, valid, w = gather_postings(postings, offs, cum, total, cap,
                                           wstart=wstart)
-    s_rows, cold_counts, is_start = sort_rle(rows, weights=w)
+    s_rows, cold_counts, is_start = sort_rle(rows, weights=w,
+                                             pack_w_bits=pack_w_bits)
     W = hot_weights(offs, whot, hot_starts)
     counts_hot = hot_matmul(W, M, max_w=offs.shape[1])
     counts, hit_rows = merge_hot_cold(counts_hot, s_rows, cold_counts,
-                                      is_start, k)
+                                      is_start, k, pack_w_bits=pack_w_bits)
     if not positions:
         return counts, hit_rows
     found = member_bitmap_from_rows(rows, seg, hit_rows, offs.shape[1])
@@ -908,7 +925,7 @@ def _phase2_impl(postings, offs, cum, wstart, *, cap: int, k: int):
 
 
 def _phase2_grouped_impl(postings, offs, cum, wstart, run_start, *,
-                         cap, k, positions=False):
+                         cap, k, positions=False, pack_w_bits=0):
     """Phase 2 for one totals-sorted group: expand + weighted count + rank.
 
     Inputs are the group's rows of the phase-1 outputs (selected on device).
@@ -924,7 +941,8 @@ def _phase2_grouped_impl(postings, offs, cum, wstart, run_start, *,
     total = cum[:, -1]
     rows, seg, valid, w = gather_postings(postings, offs, cum, total, cap,
                                           wstart=wstart)
-    counts, hit_rows = count_topk(rows, k, weights=w)
+    counts, hit_rows = count_topk(rows, k, weights=w,
+                                  pack_w_bits=pack_w_bits)
     if not positions:
         return counts, hit_rows
     # gather-free MXU path over the already-expanded entries; the scheduler
