@@ -76,6 +76,113 @@ def gather_postings(postings, offs, cum, total, cap: int, wstart=None):
     return rows, seg_cl, valid, jnp.where(valid, w, 0)
 
 
+def expand_hybrid(postings, offs, cum_s, wstart, cum_t, lens_l,
+                  cap_s: int, cap_t: int):
+    """Two-tier postings expansion: short runs element-by-element (as
+    gather_postings), LONG runs via full-tile row gathers.
+
+    Motivation (tile_gather probe, v5e): an HBM gather costs ~14 ns per
+    ROW whether the row is one uint32 or a full 512 B tile of 128 -- so a
+    run of length n >= ~64 is cheapest fetched as the ceil(((start & 127)
+    + n) / 128) tile rows that cover it, with out-of-slice lanes masked to
+    ROW_SENTINEL (they wash out of sort+RLE exactly like cap padding).
+    On the skewed-1M workload this cuts the per-chunk gather count ~30x:
+    mean cold volume 4.8k elements/query becomes ~1.6k short elements +
+    ~47 tile rows (engine phase 1 splits at T_SPLIT=64).
+
+    postings: uint32[P] with P % 128 == 0 (the engine pads at init; the
+              [P//128, 128] tile view is a free bitcast of the same
+              (8,128)-tiled layout)
+    offs:     int32[B, L]  slice start of each position's postings run
+    cum_s:    int32[B, L]  inclusive cumsum of SHORT cold run lengths
+    wstart:   int32[B, L]  run weight at run-start lanes
+    cum_t:    int32[B, L]  inclusive cumsum of LONG cold runs' tile-row
+              counts (ceil(((offs & 127) + len) / 128) at long run starts)
+    lens_l:   int32[B, L]  true length at LONG run starts, 0 elsewhere
+    cap_s:    element capacity of the short part
+    cap_t:    tile-row capacity of the long part (0 = no long part; the
+              compiled program is then gather_postings minus its
+              take_along_axis src pass)
+
+    Returns (rows uint32[B, cap_s + 128*cap_t], seg int32[...] run-start
+    lane per entry, valid bool[...], w int32[...]) -- the gather_postings
+    contract on the concatenated array.  The run-to-lane maps are dense
+    comparison counts with the per-entry base/weight/lane folded into the
+    same masked-sum pass (in_seg selects exactly one lane per entry), so
+    no take_along_axis gathers remain.
+    """
+    B, L = offs.shape
+
+    def _sel_pass(cum, cap, fold):
+        """seg + in_seg-folded selections over a [B, L, cap] compare.
+        fold: list of int32[B, L] per-lane values to select at each
+        entry's run lane.  Returns (seg, [folded...])."""
+        chunk = max(512, min(cap, (1 << 24) // max(L, 1)))
+        segs = []
+        outs = [[] for _ in fold]
+        for c0 in range(0, cap, chunk):
+            c1 = min(cap, c0 + chunk)
+            j3 = jnp.arange(c0, c1, dtype=jnp.int32)[None, None, :]
+            le = cum[:, :, None] <= j3
+            segs.append(le.astype(jnp.int32).sum(axis=1))
+            le_prev = jnp.concatenate(
+                [jnp.ones_like(le[:, :1]), le[:, :-1]], axis=1)
+            in_seg = le_prev & ~le
+            for o, v in zip(outs, fold):
+                o.append((in_seg * v[:, :, None]).sum(axis=1))
+        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 1)
+        return cat(segs), [cat(o) for o in outs]
+
+    # --- short part: element expansion --------------------------------
+    cum_s_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), cum_s[:, :-1]], axis=1)
+    vbase = offs - cum_s_prev
+    seg_s, (base_s, w_s) = _sel_pass(cum_s, cap_s, [vbase, wstart])
+    j = jnp.arange(cap_s, dtype=jnp.int32)[None, :]
+    valid_s = j < cum_s[:, -1:]
+    src = jnp.where(valid_s, base_s + j, 0)
+    rows_s = jnp.where(
+        valid_s, jnp.take(postings, src.reshape(-1)).reshape(B, cap_s),
+        ROW_SENTINEL)
+    seg_s = jnp.minimum(seg_s, L - 1)
+    w_s = jnp.where(valid_s, w_s, 0)
+    if cap_t == 0:
+        return rows_s, seg_s, valid_s, w_s
+
+    # --- long part: tile-row expansion --------------------------------
+    P = postings.shape[0]
+    ptiles = postings.reshape(P // 128, 128)
+    cum_t_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), cum_t[:, :-1]], axis=1)
+    tbase = (offs >> 7) - cum_t_prev
+    seg_t, (base_t, off_t, len_t, w_t) = _sel_pass(
+        cum_t, cap_t, [tbase, offs, lens_l, wstart])
+    jr = jnp.arange(cap_t, dtype=jnp.int32)[None, :]
+    valid_t = jr < cum_t[:, -1:]
+    tile = jnp.where(valid_t, base_t + jr, 0)
+    tile = jnp.clip(tile, 0, P // 128 - 1)
+    gath = jnp.take(ptiles, tile.reshape(-1), axis=0).reshape(B, cap_t, 128)
+    a = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    abs_idx = tile[:, :, None] * 128 + a
+    keep = (valid_t[:, :, None]
+            & (abs_idx >= off_t[:, :, None])
+            & (abs_idx < (off_t + len_t)[:, :, None]))
+    rows_t = jnp.where(keep, gath, ROW_SENTINEL).reshape(B, cap_t * 128)
+    seg_t = jnp.minimum(seg_t, L - 1)
+    segt_e = jnp.broadcast_to(seg_t[:, :, None],
+                              (B, cap_t, 128)).reshape(B, cap_t * 128)
+    wt_e = jnp.broadcast_to(
+        jnp.where(valid_t, w_t, 0)[:, :, None],
+        (B, cap_t, 128)).reshape(B, cap_t * 128)
+    keep_e = keep.reshape(B, cap_t * 128)
+
+    rows = jnp.concatenate([rows_s, rows_t], axis=1)
+    seg = jnp.concatenate([seg_s, segt_e], axis=1)
+    valid = jnp.concatenate([valid_s, keep_e], axis=1)
+    w = jnp.concatenate([w_s, jnp.where(keep_e, wt_e, 0)], axis=1)
+    return rows, seg, valid, w
+
+
 def sort_rle(rows, weights=None, pack_w_bits: int = 0):
     """Sort each query's row multiset and run-length-encode it.
 

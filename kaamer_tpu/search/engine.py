@@ -417,7 +417,15 @@ class SearchEngine(PositionBitmapServing):
         # (starts are strictly increasing; P maps to the sentinel n_sets)
         self.set_starts_np = np.concatenate([so, so[-1:]]).astype(np.int32)
         self.postings_np = np.asarray(art.postings)
-        self.postings = jnp.asarray(self.postings_np)
+        # device copy padded to a whole number of 128-lane tiles: the tile
+        # tier of expand_hybrid bitcasts it to [P//128, 128] rows, and a
+        # long run near the array end may cover the final partial tile
+        # (padding lanes are always masked to ROW_SENTINEL)
+        pad = (-len(self.postings_np)) % 128
+        self.postings = jnp.asarray(
+            np.concatenate([self.postings_np,
+                            np.zeros(pad, np.uint32)])
+            if pad else self.postings_np)
         self.n_sets = int(so.size - 1)
         self.miss_start = int(so[-1]) if so.size else 0
         self.hash_log2 = art.hash_log2
@@ -456,22 +464,18 @@ class SearchEngine(PositionBitmapServing):
         )
         self._p2 = jax.jit(
             _phase2_grouped_impl,
-            static_argnames=("cap", "k", "positions", "pack_w_bits"),
+            static_argnames=("cap_s", "cap_t", "k", "positions",
+                             "pack_w_bits"),
         )
         self._p2h = jax.jit(
             _phase2_hot_impl,
-            static_argnames=("cap", "k", "positions", "pack_w_bits"),
+            static_argnames=("cap_s", "cap_t", "k", "positions",
+                             "pack_w_bits"),
         )
         # row selection is jitted separately so _p2's compiled shapes depend
-        # only on (G, L, cap, k, positions), not on the source batch size
+        # only on (G, L, caps, k, positions), not on the source batch size
         self._sel = jax.jit(
-            lambda offs, cum, w, rs, wh, idx: (
-                jnp.take(offs, idx, axis=0),
-                jnp.take(cum, idx, axis=0),
-                jnp.take(w, idx, axis=0),
-                jnp.take(rs, idx, axis=0),
-                jnp.take(wh, idx, axis=0),
-            )
+            lambda arrs, idx: tuple(jnp.take(a, idx, axis=0) for a in arrs)
         )
 
     # ------------------------------------------------------------------
@@ -530,10 +534,11 @@ class SearchEngine(PositionBitmapServing):
 
         outs1 = self._p1(self.table, jnp.asarray(wire), jnp.asarray(n_kmers),
                          width=width)
-        totals, hot_sums = outs1[5], outs1[6]
+        totals_s, totals_t, hot_sums = outs1[7], outs1[8], outs1[9]
         # only the tiny exact-totals vectors come back eagerly; everything
         # else stays on device for the phase-2 groups
-        totals.copy_to_host_async()
+        totals_s.copy_to_host_async()
+        totals_t.copy_to_host_async()
         hot_sums.copy_to_host_async()
         return (outs1, list(sizes), k, L, positions, cap)
 
@@ -587,7 +592,10 @@ class SearchEngine(PositionBitmapServing):
             return None
         (outs1, sizes, k, L, positions, cap_pin) = handle
         offs = outs1[0]
-        totals_h, hot_h = self._jax.device_get((outs1[5], outs1[6]))
+        ts_h, tt_h, hot_h = self._jax.device_get(
+            (outs1[7], outs1[8], outs1[9]))
+        # effective expansion volume: tile rows pay 128 sort lanes each
+        totals_h = ts_h + 128 * tt_h
         B = int(offs.shape[0])
         B_real = len(sizes)
         max_total = int(totals_h[:B_real].max()) if B_real else 0
@@ -605,10 +613,12 @@ class SearchEngine(PositionBitmapServing):
         order = np.lexsort((-totals_h[:B_real],
                             hot_h[:B_real] == 0)).tolist()
         totals_l = totals_h.tolist()  # plain ints: the segment loop below
+        ts_l = ts_h.tolist()
+        tt_l = tt_h.tolist()
         hot_l = (hot_h > 0).tolist()  # touches every query once in Python
         caps_l = np.minimum(_cap_bucket_vec(totals_h), limit_g).tolist()
         normal: List[int] = []
-        chunks: List[tuple] = []  # (rows, G_c, cap_c, hot)
+        chunks: List[tuple] = []  # (rows, G_c, eff_cap, hot)
         heavy: List[int] = []
         for i in order:
             t = totals_l[i]
@@ -628,12 +638,10 @@ class SearchEngine(PositionBitmapServing):
         # the compiled-shape count beats the fine cap grid's device saving)
         for c0 in range(0, len(heavy), self.RERUN_B):
             rows = heavy[c0 : c0 + self.RERUN_B]
-            cap_c = min(_next_pow2(max(totals_l[i] for i in rows)),
-                        CAP_MAX)
-            chunks.append((rows, self.RERUN_B, cap_c, any_hot(rows)))
+            chunks.append((rows, self.RERUN_B, None, any_hot(rows)))
 
         # the bulk: shared cost-model chunker (see _plan_normal_chunks); G
-        # stays quantized to G_QUANTA -- every extra (G, cap) pair is a
+        # stays quantized to G_QUANTA -- every extra (G, caps) tuple is a
         # 20-60s remote compile on a tunneled chip
         def groups_for(cap_c, hot0):
             g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap_c
@@ -658,18 +666,35 @@ class SearchEngine(PositionBitmapServing):
                                           cap_pin, groups_for,
                                           hot_extra_rows))
 
+        # the planner chunks on EFFECTIVE volume; each chunk then gets its
+        # own two-tier capacities from its members' per-tier maxima (pow2
+        # tile-row buckets: the tile tier's shape grid stays coarse)
+        def tier_caps(rows, rerun):
+            max_s = max(ts_l[i] for i in rows)
+            max_t = max(tt_l[i] for i in rows)
+            if rerun:
+                cs = min(_next_pow2(max(max_s, CAP_MIN)), CAP_MAX)
+            else:
+                cs = cap_pin or _cap_bucket(max_s)
+            # pow2 tile-row ladder with a 32-row floor: few compiled
+            # shapes, <=2x row padding (each padded row costs one masked
+            # 512 B gather + 128 sentinel sort lanes)
+            ct = max(32, _next_pow2(max_t)) if max_t else 0
+            return cs, ct
+
         # a fully uniform batch is ONE whole-batch group: skip the row
         # permutation gather entirely (padding rows have no k-mers)
         identity = (len(chunks) == 1 and not results
                     and len(chunks[0][0]) == B_real and chunks[0][1] == B)
 
         pending = []
-        for rows, G_c, cap_c, hot in chunks:
+        for rows, G_c, eff_cap, hot in chunks:
+            cap_s, cap_t = tier_caps(rows, eff_cap is None)
             if identity:
                 rows = list(range(B))
             pending.append(
-                (rows, self._dispatch_group(outs1, rows, G_c, cap_c, k_full,
-                                            L, positions, hot,
+                (rows, self._dispatch_group(outs1, rows, G_c, cap_s, cap_t,
+                                            k_full, L, positions, hot,
                                             identity=identity))
             )
         return (pending, results, sizes, B_real, batch_ids)
@@ -690,31 +715,36 @@ class SearchEngine(PositionBitmapServing):
         return _finalize_pending(self._jax, pending, results, sizes, B_real,
                                  batch_ids, self, min_top)
 
-    def _dispatch_group(self, outs1, rows: List[int], G: int, cap: int,
-                        k_full: int, L: int, positions: bool,
+    def _dispatch_group(self, outs1, rows: List[int], G: int, cap_s: int,
+                        cap_t: int, k_full: int, L: int, positions: bool,
                         hot: bool = False, identity: bool = False):
         """Dispatch one phase-2 group (async); returns (outputs, pos_dev).
         identity=True skips the row-permutation gather (rows == range(B))."""
         import jax.numpy as jnp
 
         if identity:
-            sel = outs1[:5]
+            sel = outs1[:7]
         else:
             idx = np.zeros(G, dtype=np.int32)
             idx[: len(rows)] = rows
-            sel = self._sel(*outs1[:5], jnp.asarray(idx))
-        k2 = min(k_full, cap)
+            sel = self._sel(tuple(outs1[:7]), jnp.asarray(idx))
+        offs, cum_s, wstart, run_start, whot, cum_t, lens_l = sel
+        cap_e = cap_s + 128 * cap_t
+        k2 = min(k_full, cap_e)
         # the hot path ranks k_full candidates (its dense top-k is not cap-
         # bounded), so its bitmap-cost check must use k_full, not k2
         pos_dev = positions and _positions_on_device(
-            cap, k_full if hot else k2, L, G)
+            cap_e, k_full if hot else k2, L, G)
         pw = self._pack_w_bits(L)
         if hot:
             outs2 = self._p2h(self.postings, self.M, self.MT,
-                              self.hot_starts, *sel, cap=cap, k=k_full,
-                              positions=pos_dev, pack_w_bits=pw)
+                              self.hot_starts, offs, cum_s, wstart,
+                              run_start, whot, cum_t, lens_l, cap_s=cap_s,
+                              cap_t=cap_t, k=k_full, positions=pos_dev,
+                              pack_w_bits=pw)
         else:
-            outs2 = self._p2(self.postings, *sel[:4], cap=cap, k=k2,
+            outs2 = self._p2(self.postings, offs, cum_s, wstart, run_start,
+                             cum_t, lens_l, cap_s=cap_s, cap_t=cap_t, k=k2,
                              positions=pos_dev, pack_w_bits=pw)
         for arr in outs2:
             arr.copy_to_host_async()
@@ -820,18 +850,29 @@ class SearchEngine(PositionBitmapServing):
         pw = self._pack_w_bits(L)
         if hot:
             self._p2h(self.postings, self.M, self.MT, self.hot_starts,
-                      offs, z, z + 1, z, z, cap=cap, k=k_full,
-                      positions=pos and _positions_on_device(
+                      offs, z, z + 1, z, z, z, z, cap_s=cap, cap_t=0,
+                      k=k_full, positions=pos and _positions_on_device(
                           cap, k_full, L, G), pack_w_bits=pw)
         else:
             k2 = min(k_full, cap)
-            self._p2(self.postings, offs, z, z + 1, z, cap=cap, k=k2,
+            self._p2(self.postings, offs, z, z + 1, z, z, z, cap_s=cap,
+                     cap_t=0, k=k2,
                      positions=pos and _positions_on_device(cap, k2, L, G),
                      pack_w_bits=pw)
 
 # ---------------------------------------------------------------------------
 # jitted implementation
 # ---------------------------------------------------------------------------
+
+
+# Run-length threshold splitting the cold expansion into its two tiers
+# (ops/count.expand_hybrid): runs shorter than this expand element-by-
+# element; longer runs expand as full 512 B postings TILES (~14 ns per HBM
+# gather row regardless of width, scripts/tile_gather_probe.py), cutting
+# the gather count ~n/128-fold.  64 balances the tile parts' 128-lane
+# sentinel padding (sorted and RLE'd like cap padding) against saved
+# gathers on the skewed-1M workload.
+T_SPLIT = 64
 
 
 def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
@@ -873,30 +914,37 @@ def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
     lens_u, wstart, run_start = dedup_runs(offs, lens)
     hot = lens >= jnp.int32(hot_thresh)
     whot = jnp.where(hot & (lens_u > 0), wstart, 0).astype(jnp.int32)
-    cum = jnp.cumsum(jnp.where(hot, 0, lens_u), axis=1).astype(jnp.int32)
-    return offs, cum, wstart, run_start, whot, cum[:, -1], whot.sum(axis=1)
+    # two-tier cold split (expand_hybrid): SHORT runs expand by element,
+    # LONG runs by covering 128-wide postings tiles
+    long = (~hot) & (lens_u >= jnp.int32(T_SPLIT))
+    lens_s = jnp.where(hot | long, 0, lens_u)
+    cum_s = jnp.cumsum(lens_s, axis=1).astype(jnp.int32)
+    rows_l = jnp.where(long, ((offs & 127) + lens_u + 127) >> 7, 0)
+    cum_t = jnp.cumsum(rows_l, axis=1).astype(jnp.int32)
+    lens_l = jnp.where(long, lens_u, 0).astype(jnp.int32)
+    return (offs, cum_s, wstart, run_start, whot, cum_t, lens_l,
+            cum_s[:, -1], cum_t[:, -1], whot.sum(axis=1))
 
 
-def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum, wstart,
-                     run_start, whot, *, cap, k, positions=False,
-                     pack_w_bits=0):
-    """Phase 2 for a group containing hot runs: cold expansion + dense hot
-    matmul + exact candidate-union merge (ops/hotset.py).
+def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum_s, wstart,
+                     run_start, whot, cum_t, lens_l, *, cap_s, cap_t, k,
+                     positions=False, pack_w_bits=0):
+    """Phase 2 for a group containing hot runs: two-tier cold expansion +
+    dense hot matmul + exact candidate-union merge (ops/hotset.py).
 
     Returns the same (counts, hit_rows[, bitmaps]) contract as
     _phase2_grouped_impl; results are identical to expanding the hot sets,
     integer-exact (f32 accumulation of ints < 2^24)."""
     import jax.numpy as jnp
 
-    from ..ops.count import (expand_run_bitmaps, gather_postings,
+    from ..ops.count import (expand_hybrid, expand_run_bitmaps,
                              member_bitmap_from_rows, pack_bits, sort_rle)
     from ..ops.hotset import (hot_lane_mask, hot_matmul,
                               hot_position_bitmaps, hot_weights,
                               merge_hot_cold)
 
-    total = cum[:, -1]
-    rows, seg, valid, w = gather_postings(postings, offs, cum, total, cap,
-                                          wstart=wstart)
+    rows, seg, valid, w = expand_hybrid(postings, offs, cum_s, wstart,
+                                        cum_t, lens_l, cap_s, cap_t)
     s_rows, cold_counts, is_start = sort_rle(rows, weights=w,
                                              pack_w_bits=pack_w_bits)
     W = hot_weights(offs, whot, hot_starts)
@@ -914,19 +962,11 @@ def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum, wstart,
     return counts, hit_rows, pack_bits(found)
 
 
-def _phase2_impl(postings, offs, cum, wstart, *, cap: int, k: int):
-    from ..ops.count import count_topk, gather_postings
-
-    total = cum[:, -1]
-    rows, _, _, w = gather_postings(postings, offs, cum, total, cap,
-                                    wstart=wstart)
-    counts, hit_rows = count_topk(rows, k, weights=w)
-    return counts, hit_rows
-
-
-def _phase2_grouped_impl(postings, offs, cum, wstart, run_start, *,
-                         cap, k, positions=False, pack_w_bits=0):
-    """Phase 2 for one totals-sorted group: expand + weighted count + rank.
+def _phase2_grouped_impl(postings, offs, cum_s, wstart, run_start, cum_t,
+                         lens_l, *, cap_s, cap_t, k, positions=False,
+                         pack_w_bits=0):
+    """Phase 2 for one totals-sorted group: two-tier expand + weighted
+    count + rank.
 
     Inputs are the group's rows of the phase-1 outputs (selected on device).
     Returns (counts int32[G,k], hit_rows uint32[G,k]
@@ -935,12 +975,11 @@ def _phase2_grouped_impl(postings, offs, cum, wstart, run_start, *,
     computed on device from the expanded postings and shipped back
     bit-packed, avoiding a separate offs download + host search per batch.
     """
-    from ..ops.count import (count_topk, expand_run_bitmaps, gather_postings,
+    from ..ops.count import (count_topk, expand_hybrid, expand_run_bitmaps,
                              member_bitmap_from_rows, pack_bits)
 
-    total = cum[:, -1]
-    rows, seg, valid, w = gather_postings(postings, offs, cum, total, cap,
-                                          wstart=wstart)
+    rows, seg, valid, w = expand_hybrid(postings, offs, cum_s, wstart,
+                                        cum_t, lens_l, cap_s, cap_t)
     counts, hit_rows = count_topk(rows, k, weights=w,
                                   pack_w_bits=pack_w_bits)
     if not positions:

@@ -105,19 +105,19 @@ out["probe_s"] = round(timed(lambda: jax.device_get(
     [probe_only(engine.table, w, width) for w in wires])), 4)
 
 out["p1_s"] = round(timed(lambda: jax.device_get(
-    [engine.dispatch_batch(q, s, k=10)[0][5] for q, s in batches()])), 4)
+    [engine.dispatch_batch(q, s, k=10)[0][7] for q, s in batches()])), 4)
 
 # --- capture the scheduler's plan on real phase-1 outputs --------------------
-plan = []          # (outs1, rows, G, cap, k_full, L, positions, hot, identity)
+plan = []   # (outs1, rows, G, cap_s, cap_t, k_full, L, positions, hot, id)
 orig_dispatch = SearchEngine._dispatch_group
 
 
-def recording_dispatch(self, outs1, rows, G, cap, k_full, L, positions,
-                       hot=False, identity=False):
-    plan.append((outs1, list(rows), G, cap, k_full, L, positions, hot,
-                 identity))
-    return orig_dispatch(self, outs1, rows, G, cap, k_full, L, positions,
-                         hot, identity=identity)
+def recording_dispatch(self, outs1, rows, G, cap_s, cap_t, k_full, L,
+                       positions, hot=False, identity=False):
+    plan.append((outs1, list(rows), G, cap_s, cap_t, k_full, L, positions,
+                 hot, identity))
+    return orig_dispatch(self, outs1, rows, G, cap_s, cap_t, k_full, L,
+                         positions, hot, identity=identity)
 
 
 handles = [engine.dispatch_batch(q, s, k=10) for q, s in batches()]
@@ -136,16 +136,21 @@ out["phase2_dispatches"] = len(plan)
 REPS = 6
 classes = defaultdict(lambda: {"chunks": 0, "rows_dispatched": 0,
                                "rows_real": 0, "s": 0.0})
-for outs1, rows, G, cap, k_full, Lc, positions, hot, identity in plan:
-    key = f"{'hot' if hot else 'cold'} cap<={1 << max(10, (cap - 1).bit_length())}"
+for outs1, rows, G, cap_s, cap_t, k_full, Lc, positions, hot, identity \
+        in plan:
+    cap_e = cap_s + 128 * cap_t
+    key = (f"{'hot' if hot else 'cold'} "
+           f"cap<={1 << max(10, (cap_e - 1).bit_length())}")
     c = classes[key]
     c["chunks"] += 1
-    c["rows_dispatched"] += G * cap
+    c["rows_dispatched"] += G * cap_e
 
-    def once(outs1=outs1, rows=rows, G=G, cap=cap, k_full=k_full, Lc=Lc,
-             positions=positions, hot=hot, identity=identity):
-        outs2, _ = orig_dispatch(engine, outs1, rows, G, cap, k_full, Lc,
-                                 positions, hot, identity=identity)
+    def once(outs1=outs1, rows=rows, G=G, cap_s=cap_s, cap_t=cap_t,
+             k_full=k_full, Lc=Lc, positions=positions, hot=hot,
+             identity=identity):
+        outs2, _ = orig_dispatch(engine, outs1, rows, G, cap_s, cap_t,
+                                 k_full, Lc, positions, hot,
+                                 identity=identity)
         return outs2[0]
 
     once()  # warm (compiled already during scheduling)
@@ -155,10 +160,14 @@ for outs1, rows, G, cap, k_full, Lc, positions, hot, identity in plan:
     c["s"] += (time.perf_counter() - t0) / REPS
 
 # real rows per class from phase-1 totals
-for (outs1, rows, G, cap, k_full, Lc, positions, hot, identity) in plan:
-    key = f"{'hot' if hot else 'cold'} cap<={1 << max(10, (cap - 1).bit_length())}"
-    totals_h = np.asarray(outs1[5])
-    classes[key]["rows_real"] += int(totals_h[rows].sum())
+for (outs1, rows, G, cap_s, cap_t, k_full, Lc, positions, hot,
+     identity) in plan:
+    cap_e = cap_s + 128 * cap_t
+    key = (f"{'hot' if hot else 'cold'} "
+           f"cap<={1 << max(10, (cap_e - 1).bit_length())}")
+    # real dispatch lanes: short elements + 128 per real tile row
+    lanes = np.asarray(outs1[7]) + 128 * np.asarray(outs1[8])
+    classes[key]["rows_real"] += int(lanes[rows].sum())
 
 out["phase2_classes"] = {
     k: {"chunks": v["chunks"], "ms": round(v["s"] * 1e3, 1),
@@ -198,7 +207,7 @@ out["gather_ref_rows_per_s_m"] = round(
 
 # --- schedule host time, post-compile ----------------------------------------
 handles2 = [engine.dispatch_batch(q, s, k=10) for q, s in batches()]
-jax.device_get([h[0][5] for h in handles2])  # totals ready
+jax.device_get([h[0][7] for h in handles2])  # totals ready
 t0 = time.perf_counter()
 scheds2 = [engine.schedule_batch(h) for h in handles2]
 out["schedule_host_warm_s_all_batches"] = round(time.perf_counter() - t0, 4)

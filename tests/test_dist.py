@@ -228,7 +228,11 @@ def test_sharded_expansion_volume_matches_single_chip(skew_db):
 
     single = SearchEngine(art, hot=False)
     h = single.dispatch_batch(queries, sizes, k=8)
-    single_totals = np.asarray(h[0][5])[: len(queries)]
+    # exact deduplicated cold ELEMENT volume: the single-chip phase 1 now
+    # splits it into short elements (outs1[7]) + long-run true lengths
+    # (outs1[6], nonzero at long run starts)
+    single_totals = (np.asarray(h[0][7])
+                     + np.asarray(h[0][6]).sum(axis=1))[: len(queries)]
     single.resolve_batch(h)
 
     eng = ShardedSearchEngine(art, mesh=global_mesh(4), hot=False)
@@ -407,7 +411,9 @@ def test_split_sets_balance_cold_expansion(tmp_path):
 
     single = SearchEngine(art, hot=False)
     h = single.dispatch_batch(queries, sizes, k=8)
-    single_totals = np.asarray(h[0][5])[:64].astype(np.int64)
+    # exact cold ELEMENT volume = short elements + long-run true lengths
+    single_totals = (np.asarray(h[0][7])
+                     + np.asarray(h[0][6]).sum(axis=1))[:64].astype(np.int64)
     single.resolve_batch(h)
 
     eng = ShardedSearchEngine(art, mesh=global_mesh(8), hot=False)

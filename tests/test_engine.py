@@ -231,7 +231,8 @@ def test_grouped_caps_track_totals(heavy_db, monkeypatch):
     orig = engine._p2
 
     def counting_p2(*a, **kw):
-        calls.append((a[1].shape[0], kw["cap"]))
+        # effective capacity: the tile tier (long runs) pays 128 lanes/row
+        calls.append((a[1].shape[0], kw["cap_s"] + 128 * kw["cap_t"]))
         return orig(*a, **kw)
 
     engine._p2 = counting_p2
@@ -274,11 +275,11 @@ def test_hot_path_small_caps_and_exact(heavy_db, monkeypatch):
     orig_h, orig_c = engine._p2h, engine._p2
 
     def counting_p2h(*a, **kw):
-        calls["hot"].append(kw["cap"])
+        calls["hot"].append(kw["cap_s"] + 128 * kw["cap_t"])
         return orig_h(*a, **kw)
 
     def counting_p2(*a, **kw):
-        calls["cold"].append(kw["cap"])
+        calls["cold"].append(kw["cap_s"] + 128 * kw["cap_t"])
         return orig_c(*a, **kw)
 
     engine._p2h, engine._p2 = counting_p2h, counting_p2
@@ -342,7 +343,7 @@ def test_warmup_does_not_change_group_caps(heavy_db):
         orig = engine._p2
 
         def counting_p2(*a, **kw):
-            calls.append(kw["cap"])
+            calls.append(kw["cap_s"] + 128 * kw["cap_t"])
             return orig(*a, **kw)
 
         engine._p2 = counting_p2
@@ -501,7 +502,8 @@ def test_expansion_budget_escalates_outliers(heavy_db, monkeypatch):
     orig = engine._p2
 
     def counting_p2(*a, **kw):
-        calls.append((a[1].shape[0], kw["cap"]))
+        # effective capacity: the tile tier (long runs) pays 128 lanes/row
+        calls.append((a[1].shape[0], kw["cap_s"] + 128 * kw["cap_t"]))
         return orig(*a, **kw)
 
     engine._p2 = counting_p2
@@ -536,10 +538,11 @@ def test_scheduler_coalesces_small_cap_tails(synth_db):
     calls = []
     orig = engine._dispatch_group
 
-    def spy(outs1, rows, G, cap, k_full, L, positions, hot, identity=False):
-        calls.append((len(rows), G, cap))
-        return orig(outs1, rows, G, cap, k_full, L, positions, hot,
-                    identity=identity)
+    def spy(outs1, rows, G, cap_s, cap_t, k_full, L, positions, hot,
+            identity=False):
+        calls.append((len(rows), G, cap_s + 128 * cap_t))
+        return orig(outs1, rows, G, cap_s, cap_t, k_full, L, positions,
+                    hot, identity=identity)
 
     engine._dispatch_group = spy
     res = engine.count_batch(queries, sizes, k=8)
