@@ -83,6 +83,11 @@ for doc in ("README.md", "docs/performance.md"):
     changed = 0
     for i, line in enumerate(lines):
         for label, pat, new in subs:
+            # re-read the CURRENT line state: several subs can hit one row
+            # (qps + k-mer cells, queries/s + pairs/s), and deriving cells
+            # from the stale loop variable made the last sub revert the
+            # earlier ones
+            line = lines[i]
             if label and not (line.startswith("|") and label in line):
                 continue
             if not label and "BENCH_r" not in line and "MAKEDB_r" not in line:

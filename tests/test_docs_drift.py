@@ -14,6 +14,13 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOLERANCE = 0.15
+# fastq and -aln serving are 2-core-host/tunnel bound and swing far more
+# than device-bound rows on identical code (BENCH_r04 note: 5,942 vs 4,056
+# reads/s in two same-day runs of the same commit) -- their rows get a
+# wider band so window variance between the doc-refresh run and the
+# driver's capture cannot masquerade as doc rot
+TOLERANCE_VOLATILE = 0.55
+VOLATILE_LABELS = ("fastq", "`-aln`")
 
 
 def _latest(pattern):
@@ -41,12 +48,12 @@ def _row(path, label):
     raise AssertionError(f"{os.path.basename(path)}: no table row {label!r}")
 
 
-def _check(doc_value, artifact_value, what):
+def _check(doc_value, artifact_value, what, tol=TOLERANCE):
     assert artifact_value > 0, what
     drift = abs(doc_value - artifact_value) / artifact_value
-    assert drift <= TOLERANCE, (
+    assert drift <= tol, (
         f"{what}: doc says {doc_value}, artifact says {artifact_value} "
-        f"({drift:.0%} drift > {TOLERANCE:.0%})")
+        f"({drift:.0%} drift > {tol:.0%})")
 
 
 @pytest.fixture(scope="module")
@@ -75,7 +82,9 @@ def test_throughput_rows_match_bench_artifact(doc, bench):
     for label, key in _throughput_rows(doc):
         row = _row(path, label)
         cell = next(c for c in row[1:] if "~" in c)
-        _check(_num(cell), key(bench), f"{doc} row {label!r}")
+        tol = (TOLERANCE_VOLATILE if any(v in label for v in VOLATILE_LABELS)
+               else TOLERANCE)
+        _check(_num(cell), key(bench), f"{doc} row {label!r}", tol)
 
 
 @pytest.mark.parametrize("doc", ["README.md", "docs/performance.md"])
