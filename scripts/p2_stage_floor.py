@@ -18,6 +18,15 @@ closed by a tiny device_get, per CLAUDE.md timing rules):
 
 Run AFTER the engine exists: python scripts/p2_stage_floor.py [G] [cap]
 """
+# NOTE: this probe measured the PRE-hybrid phase-2 kernels (results
+# captured in .bench_cache and discussed in docs/performance.md /
+# SCALE_FLOOR history).  The kernels changed signature with the two-tier
+# expansion (ops/count.expand_hybrid); use scripts/hybrid_p2_probe.py for
+# current-kernel stage timings.
+import sys as _sys
+_sys.exit("superseded by scripts/hybrid_p2_probe.py (kernel signatures "
+          "changed with the two-tier expansion); see module note")
+
 
 import json
 import os
