@@ -273,6 +273,204 @@ def merge_hot_cold(counts_hot, s_rows, cold_counts, is_start, k: int,
     return top_counts, hit_rows
 
 
+# Candidate width of the threshold merge: top-CAND_K cold rows + top-CAND_K
+# hot rows.  Must comfortably exceed the serving k (k_full=16) so the
+# exactness certificate below almost never fails; 64 measured zero host
+# fallbacks across the skewed 10k/100k/1M bench workloads.
+CAND_K = 64
+
+
+def merge_hot_cold_tam(counts_hot, rows, w, k: int, pack_w_bits: int = 0,
+                       k_cand: int = CAND_K, k_cold: int = 0):
+    """Exact top-k of hot+cold totals WITHOUT a per-lane counts_hot gather.
+
+    The candidate-union merge (merge_hot_cold) gathers counts_hot at every
+    expanded lane -- ~17 ns/lane, the dominant hot-chunk cost at 1M scale
+    (SCALE_FLOOR_r04: 75M dispatched lanes -> ~1.3 s per 8192 queries).
+    This variant applies the threshold algorithm (Fagin) under static
+    shapes instead.  Candidates are
+
+      C1: the top-k_cold COLD rows by cold count (extracted by one more
+          packed sort -- O(cap) regardless of k_cold, unlike top_k), with
+          exact totals via k_cold tiny counts_hot gathers per query, and
+      H2: the top-k_cand HOT rows by dense hot count, with exact cold
+          counts obtained by INJECTING them into the expansion sort as
+          zero-weight entries: an injected entry sorts to the head of its
+          row's run (weight 0 < any real weight), and the weighted RLE
+          count at a run head IS that row's exact cold count.
+
+    Any row outside both lists has total <= bound = (k_cold-th cold count)
+    + (k_cand-th hot count); the per-query exactness certificate is
+
+        exact = (tau > bound) | (bound == 0)
+              | ((tau == bound) & (rho <= R))        [plateau clause]
+
+    with tau the k-th candidate total, rho its row id, and R the largest
+    SELECTED row of the binding tier (see the inline derivation).  The
+    engine re-runs !exact rows through the per-lane legacy merge on
+    device; k_cold is sized per DB scale so that is rare (the skewed
+    bench: 0.1% at 10k, 0% at 100k, ~6% at 1M).
+
+    counts_hot: f32[G, P] dense hot counts (W @ M)
+    rows/w:     uint32/int32[G, cap] expanded cold multiset PRE-sort, as
+                produced by expand_hybrid (ROW_SENTINEL padding, w=0 there;
+                every real entry has w >= 1)
+    pack_w_bits: single-key packing as in sort_rle; requires row + count to
+                fit 32 bits (cold and hot counts are matched-position
+                tallies over DISJOINT position sets, so total <= L < 2^bits)
+    Returns (counts int32[G, k], hit_rows uint32[G, k], exact bool[G]).
+    """
+    G, P = counts_hot.shape
+    cap = rows.shape[1]
+    k_cold = k_cold or k_cand
+    SENT32 = jnp.uint32(0xFFFFFFFF)
+
+    hv, hi = topk_dense(counts_hot, k_cand)          # [G, K2] desc by hot
+    hv_i = hv.astype(jnp.int32)
+    cand = jnp.minimum(hi, P - 1).astype(jnp.uint32)  # defensive clamp
+
+    # ---- expansion sort with injected candidate markers ----
+    if pack_w_bits:
+        shift = jnp.uint32(pack_w_bits)
+        mask = jnp.uint32((1 << pack_w_bits) - 1)
+        packed = jnp.where(rows == ROW_SENTINEL, SENT32,
+                           (rows.astype(jnp.uint32) << shift)
+                           | w.astype(jnp.uint32))
+        inj = cand << shift                           # weight field = 0
+        ps = jnp.sort(jnp.concatenate([packed, inj], axis=1), axis=1)
+        sent = ps == SENT32
+        s = jnp.where(sent, ROW_SENTINEL, ps >> shift)
+        wv = jnp.where(sent, 0, (ps & mask).astype(jnp.int32))
+    else:
+        rows_i = jnp.concatenate([rows, cand], axis=1)
+        w_i = jnp.concatenate(
+            [w.astype(jnp.int32), jnp.zeros_like(cand, jnp.int32)], axis=1)
+        # num_keys=2: zero-weight injected entries sort to their run head
+        s, wv = jax.lax.sort((rows_i, w_i), num_keys=2)
+        sent = s == ROW_SENTINEL
+        wv = jnp.where(sent, 0, wv)
+
+    n = cap + k_cand
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones_like(s[:, :1], dtype=bool), s[:, 1:] != s[:, :-1]],
+        axis=1) & ~sent
+    change_next = jnp.concatenate(
+        [s[:, 1:] != s[:, :-1], jnp.ones_like(s[:, :1], dtype=bool)], axis=1)
+    wc = jnp.cumsum(wv, axis=1)
+    wc_end = jax.lax.cummin(
+        jnp.where(change_next, wc, np.int32(2**31 - 1)), axis=1,
+        reverse=True)
+    counts_rle = jnp.where(is_start, wc_end - wc + wv, 0).astype(jnp.int32)
+
+    # ---- H2 candidates: compact the injected run heads ----
+    # an injected entry is the only zero-weight non-sentinel lane of its
+    # run and sorts first, so it IS the run head; its RLE count is the
+    # row's exact cold count.  Exactly k_cand injected lanes exist per
+    # query with distinct rows, so a top-k_cand over a packed
+    # (row, cold_count) payload extracts all of them.
+    cb = max(pack_w_bits, 1) if pack_w_bits else 16
+    inj_lane = is_start & (wv == 0) & ~sent
+    pay = jnp.where(
+        inj_lane,
+        ((s.astype(jnp.uint32) << cb)
+         | jnp.minimum(counts_rle, (1 << cb) - 1).astype(jnp.uint32)) + 1,
+        jnp.uint32(0))
+    # rows within a query are unique among injected lanes -> payloads
+    # unique; descending top_k then yields rows in DESCENDING row order
+    pay_top, _ = jax.lax.top_k(pay, k_cand)
+    cand_s = ((pay_top - 1) >> cb)[:, ::-1]                  # asc by row
+    cand_cold = ((pay_top - 1) & jnp.uint32((1 << cb) - 1))[:, ::-1]
+    # align the hot values: sort (hi, hv) ascending by row
+    hkey = (cand.astype(jnp.uint32) << cb) | hv_i.astype(jnp.uint32)
+    hkey = jnp.sort(hkey, axis=1)
+    cand_hot = (hkey & jnp.uint32((1 << cb) - 1)).astype(jnp.int32)
+    cand_tot = cand_cold.astype(jnp.int32) + cand_hot
+
+    # ---- C1 candidates: top cold rows + tiny hot gathers ----
+    # (count desc, row asc) top-k_cold by one packed ascending sort:
+    # key = (~count) << row_bits | row.  O(cap) whatever k_cold is, so the
+    # cold candidate list can be sized to ENUMERATE most queries' distinct
+    # cold rows at large scale (the certificate then binds through the hot
+    # side alone).  Only run-head lanes carry a positive count; the rest
+    # key to the sentinel.
+    if pack_w_bits:
+        rb = 32 - pack_w_bits
+        cmax = jnp.uint32((1 << pack_w_bits) - 1)
+        ckey = jnp.where(
+            counts_rle > 0,
+            ((cmax - counts_rle.astype(jnp.uint32)) << rb)
+            | s.astype(jnp.uint32), SENT32)
+        ckey = jax.lax.slice_in_dim(jnp.sort(ckey, axis=1), 0, k_cold,
+                                    axis=1)
+        csent = ckey == SENT32
+        cc = jnp.where(csent, 0,
+                       (cmax - (ckey >> rb)).astype(jnp.int32))
+        rows_c = jnp.where(csent, ROW_SENTINEL,
+                           ckey & jnp.uint32((1 << rb) - 1))
+    else:
+        cc, pos = jax.lax.top_k(counts_rle, k_cold)
+        rows_c = jnp.where(cc > 0, jnp.take_along_axis(s, pos, axis=1),
+                           ROW_SENTINEL)
+    # largest selected row of the k_cold-th cold-count tier (selection is
+    # row-asc within the tier, so the LAST entry is the tier's max
+    # selected row); feeds the plateau certificate below
+    row_c_last = rows_c[:, -1]
+    safe_c = jnp.minimum(rows_c, np.uint32(P - 1)).astype(jnp.int32)
+    hot_at_c = jnp.take_along_axis(counts_hot, safe_c, axis=1)
+    tot_c = jnp.where(cc > 0, cc + hot_at_c.astype(jnp.int32), 0)
+    rows_c = jnp.where(cc > 0, rows_c, ROW_SENTINEL)
+
+    # drop H2 entries already present in C1 (their totals are equal --
+    # keeping both would duplicate the row in the final top-k)
+    dup = (cand_s[:, :, None] == rows_c[:, None, :]).any(axis=2)
+    keep_h = (cand_tot > 0) & ~dup
+    cand_rows_u = jnp.where(keep_h, cand_s, ROW_SENTINEL)
+    cand_tot_u = jnp.where(keep_h, cand_tot, 0)
+
+    # ---- union top-k with the global (count desc, row asc) tie-break ----
+    u_rows = jnp.concatenate([rows_c, cand_rows_u], axis=1)
+    u_tot = jnp.concatenate([tot_c, cand_tot_u], axis=1)
+    if pack_w_bits:
+        up = jnp.where(u_rows == ROW_SENTINEL, SENT32,
+                       (u_rows << jnp.uint32(pack_w_bits))
+                       | u_tot.astype(jnp.uint32))
+        ups = jnp.sort(up, axis=1)
+        usent = ups == SENT32
+        u_rows = jnp.where(usent, ROW_SENTINEL, ups >> jnp.uint32(pack_w_bits))
+        u_tot = jnp.where(
+            usent, 0,
+            (ups & jnp.uint32((1 << pack_w_bits) - 1)).astype(jnp.int32))
+    else:
+        u_rows, u_tot = jax.lax.sort((u_rows, u_tot), num_keys=1)
+        u_tot = jnp.where(u_rows == ROW_SENTINEL, 0, u_tot)
+    top_counts, top_pos = jax.lax.top_k(u_tot, k)
+    hit_rows = jnp.take_along_axis(u_rows, top_pos, axis=1)
+    hit_rows = jnp.where(top_counts > 0, hit_rows, ROW_SENTINEL)
+
+    # ---- exactness certificate ----
+    # tau > bound: no outside row can reach the k-th total.  tau == bound
+    # (plateau boundary, the common case on shared-domain data): an
+    # outside contender must have EXACTLY the split (cold == cc[k_cand-1],
+    # hot == hv[k_cand-1]) -- cold <= c_bound and hot <= h_bound with an
+    # equal sum forces equality.  Such a row was excluded from its tier's
+    # top-k by the row-asc tie preference, so its row id exceeds every
+    # SELECTED tier row: > row_c_last when c_bound > 0 (any cold > 0 row
+    # appears in the expansion sort), else > hi[:, -1] (the largest
+    # selected hot-tier row; hot-only contenders live in H2's tier).  If
+    # our k-th pick's row id rho is <= that bound row R, every missed
+    # outside row sorts after ALL our tier picks (picks are row-asc, rho
+    # is their max), so the top-k set and order are exact.
+    tau = top_counts[:, k - 1]
+    c_bound, h_bound = cc[:, -1], hv_i[:, -1]
+    bound = c_bound + h_bound
+    R = jnp.where(c_bound > 0, row_c_last, hi[:, -1].astype(jnp.uint32))
+    rho = hit_rows[:, k - 1]
+    exact = ((tau > bound) | (bound <= 0)
+             | ((tau == bound) & (tau > 0) & (rho <= R)))
+    return top_counts, hit_rows, exact
+
+
 def hot_lane_mask(whot, run_start):
     """bool[G, L]: lanes belonging to a HOT run, forward-filled from the
     run-start mask (whot > 0) without gathers -- the cummax-of-(2*run_start

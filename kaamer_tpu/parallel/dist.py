@@ -237,7 +237,10 @@ class ShardedSearchEngine(PositionBitmapServing):
             for s in range(n)
         ]
         if not any(s is not None for s in sels):
-            self.hot_thresh = jnp.asarray(self.hot_thresh_np)
+            self.hot_thresh = jax.make_array_from_callback(
+                self.hot_thresh_np.shape,
+                NamedSharding(self.mesh, P("shard")),
+                lambda idx: self.hot_thresh_np[idx])
             return
         H_max = max(s[0].shape[0] for s in sels if s is not None)
         starts = np.full((n, H_max), -1, dtype=np.int32)
@@ -271,8 +274,12 @@ class ShardedSearchEngine(PositionBitmapServing):
         blocks = []
         for dp_i in range(self.dp):
             for s in range(n):
+                dev = mesh_devices[dp_i, s]
+                # multi-process mesh: build only THIS controller's blocks
+                if dev.process_index != jax.process_index():
+                    continue
                 hh, rr = pairs[s]
-                with jax.default_device(mesh_devices[dp_i, s]):
+                with jax.default_device(dev):
                     blk = jnp.zeros((1, H_max, P_pad), dtype=dtype)
                     if hh.size:
                         blk = blk.at[0, jnp.asarray(hh), jnp.asarray(rr)].set(
@@ -282,8 +289,13 @@ class ShardedSearchEngine(PositionBitmapServing):
             (n, H_max, P_pad),
             NamedSharding(self.mesh, P("shard", None, None)), blocks)
         self.MT = jnp.swapaxes(self.M, 1, 2).astype(jnp.bfloat16)
-        self.hot_starts = jnp.asarray(starts)
-        self.hot_thresh = jnp.asarray(self.hot_thresh_np)
+        # small control arrays still need explicit multi-process placement
+        self.hot_starts = jax.make_array_from_callback(
+            starts.shape, NamedSharding(self.mesh, P("shard", None)),
+            lambda idx: starts[idx])
+        self.hot_thresh = jax.make_array_from_callback(
+            self.hot_thresh_np.shape, NamedSharding(self.mesh, P("shard")),
+            lambda idx: self.hot_thresh_np[idx])
 
     # ------------------------------------------------------------------
     # Kernel caches
@@ -315,7 +327,10 @@ class ShardedSearchEngine(PositionBitmapServing):
             self._group_cache[key] = make_sharded_group(
                 self.mesh, self.sharded.hash_log2, cap=cap, k=k,
                 width=width, positions=positions, hot=hot,
-                pack_w_bits=bits)
+                pack_w_bits=bits,
+                # multi-controller: every process's collect_batch
+                # device_gets the full chunk outputs (see mesh.py)
+                replicate_out=self._jax.process_count() > 1)
         return self._group_cache[key]
 
     # ------------------------------------------------------------------

@@ -272,7 +272,13 @@ def make_sharded_totals(mesh, hash_log2: int, miss_start: int,
         tmax = jax.lax.pmax(cold_total, "shard")
         tsum = jax.lax.psum(cold_total, "shard")
         hot_sum = jax.lax.psum(whot.sum(axis=1), "shard")
-        return tmax, tsum, hot_sum
+        # replicate over dp too: every CONTROLLER schedules the whole
+        # batch from these vectors (multi-controller determinism --
+        # process-local device_get needs fully-addressable arrays), and
+        # they are a few KB
+        out = tuple(jax.lax.all_gather(t, "dp", axis=0, tiled=True)
+                    for t in (tmax, tsum, hot_sum))
+        return out
 
     fn = shard_map(
         local_totals,
@@ -283,8 +289,8 @@ def make_sharded_totals(mesh, hash_log2: int, miss_start: int,
             P("dp", None),            # codes (replicated over shard)
             P("dp",),                 # n_kmers
         ),
-        # pmax/psum leave the outputs shard-invariant
-        out_specs=(P("dp",), P("dp",), P("dp",)),
+        # pmax/psum/all_gather leave the outputs fully replicated
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     import jax as _jax
@@ -310,7 +316,8 @@ def _or_merge_bitmaps(packed, counts, n_shards: int):
 
 def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
                        width: int = 0, positions: bool = False,
-                       hot: bool = False, pack_w_bits: int = 0):
+                       hot: bool = False, pack_w_bits: int = 0,
+                       replicate_out: bool = False):
     """One phase-2 group of the sharded engine: per-shard run-deduplicated
     expansion at `cap`, all_to_all hit merge, weighted RLE count + top-k --
     plus, when hot=True, the dense hot-set path (shard-local W @ M partial
@@ -444,9 +451,27 @@ def make_sharded_group(mesh, hash_log2: int, cap: int, k: int,
             P("dp",),                     # n_kmers
         )
 
-    out_specs = [P(("dp", "shard"), None), P(("dp", "shard"), None)]
-    if positions:
-        out_specs.append(P(("dp", "shard"), None, None))
+    if replicate_out:
+        # multi-controller serving: every process's host scheduler needs
+        # the full [G, k] outputs (device_get demands fully-addressable
+        # arrays), so gather the per-device row blocks back in the
+        # P(("dp","shard")) row order -- shard-minor, dp-major -- and
+        # declare the outputs replicated.  A few KB per chunk.
+        inner = local_step
+
+        def local_step(*args):  # noqa: F811 -- deliberate wrap
+            outs = inner(*args)
+            rep = []
+            for o in outs:
+                o = jax.lax.all_gather(o, "shard", axis=0, tiled=True)
+                rep.append(jax.lax.all_gather(o, "dp", axis=0, tiled=True))
+            return tuple(rep)
+
+        out_specs = [P()] * (3 if positions else 2)
+    else:
+        out_specs = [P(("dp", "shard"), None), P(("dp", "shard"), None)]
+        if positions:
+            out_specs.append(P(("dp", "shard"), None, None))
     fn = shard_map(
         local_step,
         mesh=mesh,

@@ -107,16 +107,23 @@ DISPATCH_COST_ROWS = 1 << 16
 # wide totals quantile and measured 55% expansion padding (SCALE_FLOOR_r04
 # hot cap<=32768 class); G=64 keeps those chunks near their own quantile.
 G_QUANTA = (16, 64, 256, 2048)
-# A HOT chunk additionally streams the FULL membership matrix M (3.8 GB at
-# 1M proteins ~= 4.6 ms) and materializes/ranks its counts_hot slab --
-# measured +6 ms (G=16) to +20 ms (G=256) per chunk on the skewed-1M
-# workload.  Extra fixed row-equivalents charged per hot dispatch so the
-# scheduler emits FEW, WIDE hot chunks (41 -> ~8 per 2048-batch at 1M).
+# A HOT chunk additionally streams the FULL membership matrix M and
+# materializes/ranks its counts_hot slab.  These defaults are the LEGACY
+# per-lane-merge economics (still used by the sharded engine's planner);
+# the single-chip engine derives its own post-TAM values from (H, P) at
+# init (see __init__: _hot_chunk_rows / _hot_lane_rows) and passes them to
+# _plan_normal_chunks explicitly.
 HOT_CHUNK_COST_ROWS = 1 << 18
-# Rows of a hot chunk pay ~2x a cold row: the candidate-union merge gathers
-# counts_hot at every expanded lane (ops/hotset.merge_hot_cold) on top of
-# the postings gather itself.
+# Rows of a hot chunk under the LEGACY merge pay ~2x a cold row (the
+# candidate-union merge gathers counts_hot at every expanded lane).  Under
+# the TAM merge (single-chip) a hot row costs the same as a cold row.
 HOT_ROW_COST = 2
+# Hardware rates the derived planner constants are computed from: MXU bf16
+# (50% efficiency), HBM stream bandwidth, and the fused-pipeline gather
+# rate that DISPATCH_COST_ROWS is denominated in (SCALE_FLOOR_r04).
+MXU_FLOPS = 1e14
+HBM_BPS = 8.1e11
+PIPE_ROWS_PER_S = 25e6
 
 
 def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
@@ -135,7 +142,9 @@ def _cap_bucket_vec(totals: np.ndarray) -> np.ndarray:
 
 
 def _plan_normal_chunks(normal, totals_l, hot_l, caps_l, cap_pin,
-                        groups_for, hot_extra_rows):
+                        groups_for, hot_extra_rows,
+                        hot_chunk_rows: int = HOT_CHUNK_COST_ROWS,
+                        hot_row_cost: int = HOT_ROW_COST):
     """Chunk the totals-desc `normal` rows (hot class first) into quantized
     phase-2 groups; shared by the single-chip and sharded schedulers.
 
@@ -183,9 +192,9 @@ def _plan_normal_chunks(normal, totals_l, hot_l, caps_l, cap_pin,
         pref = [0]
         for q in seg:
             pref.append(pref[-1] + totals_l[q])
-        D = DISPATCH_COST_ROWS + (HOT_CHUNK_COST_ROWS if hot0 else 0)
+        D = DISPATCH_COST_ROWS + (hot_chunk_rows if hot0 else 0)
         extra = hot_extra_rows() if hot0 else 0
-        c_row = HOT_ROW_COST if hot0 else 1
+        c_row = hot_row_cost if hot0 else 1
         c0 = 0
         while c0 < len(seg):
             rem = len(seg) - c0
@@ -268,11 +277,27 @@ def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
     """Shared collect_batch body (single-chip and sharded engines): fetch
     each phase-2 chunk's outputs and build per-query QueryCounts.
 
+    Pending items are (rows, (outs2, pos_dev[, flagged])): flagged chunks
+    (the single-chip hot path) carry a per-row `exact` certificate at
+    outs2[2] (merge_hot_cold_tam).  Uncertified rows are SKIPPED here --
+    their device counts are lower bounds, so neither the result nor the
+    min_top gate may use them; the caller (collect_batch) has already
+    re-dispatched them through the exact legacy merge and appended those
+    chunks to `pending`, which fill the skipped slots when their turn
+    comes.
+
     min_top > 0: rows whose top count is below it become None without
     constructing anything; their position bitmaps are never unpacked
     (host unpackbits over a [G, k, L] group is the other per-row cost)."""
-    for rows, (outs2, pos_dev) in pending:
-        ch, hh = jax_mod.device_get((outs2[0], outs2[1]))
+    for rows, item in pending:
+        outs2, pos_dev = item[0], item[1]
+        flagged = len(item) > 2 and item[2]
+        if flagged:
+            ch, hh, ex = jax_mod.device_get((outs2[0], outs2[1], outs2[2]))
+            fb = (~ex).tolist()
+        else:
+            ch, hh = jax_mod.device_get((outs2[0], outs2[1]))
+            fb = None
         keep = None
         if min_top > 0:
             # counts are sorted desc, so column 0 is each row's top count;
@@ -281,7 +306,7 @@ def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
         bm = None
         bpos = 0
         if pos_dev:
-            packed = jax_mod.device_get(outs2[2])
+            packed = jax_mod.device_get(outs2[3 if flagged else 2])
             if keep is None:
                 bm = np.unpackbits(packed, axis=-1,
                                    bitorder="little").view(np.bool_)
@@ -294,13 +319,16 @@ def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
         # bounds cost ~3x an int at 30k queries/s)
         ms = (ch > 0).sum(axis=1).tolist()
         for j, i in enumerate(rows):
-            if keep is not None and not keep[j]:
-                if i < B_real:
-                    results[i] = None
-                continue
             if i >= B_real:  # identity groups include padding rows
-                if keep is not None:
+                if keep is not None and keep[j]:
                     bpos += 1  # mirrors the idx construction above
+                continue
+            if fb is not None and fb[j]:
+                if keep is not None and keep[j]:
+                    bpos += 1
+                continue  # a legacy re-run chunk later in `pending` fills it
+            if keep is not None and not keep[j]:
+                results[i] = None
                 continue
             m = ms[j]
             qc = QueryCounts(
@@ -442,13 +470,33 @@ class SearchEngine(PositionBitmapServing):
         self.hot_starts = None
         self.hot_thresh = 1 << 30
         self.M = self.MT = None
-        hot = hotset.select_hot_sets(so, art.num_proteins) if hot else None
+        # post-tile hot budget: beyond ~2^18 proteins the dense per-query
+        # cost (2*H*P flops + the counts_hot slab) grows linearly in H*P
+        # while a demoted set costs only len/128 tile-row gathers per
+        # occurrence -- the threshold sweep on the skewed 1M workload puts
+        # the optimum near H~400-1000 (/tmp-free repro:
+        # scripts/sweep_hot_h.py); small DBs keep the wide net.
+        h_max = 2048 if art.num_proteins <= (1 << 18) else 1024
+        hot = (hotset.select_hot_sets(so, art.num_proteins, h_max=h_max)
+               if hot else None)
+        self._hot_chunk_rows = HOT_CHUNK_COST_ROWS
+        self._hot_lane_rows = 0
         if hot is not None:
             hot_starts_np, self.hot_thresh, P_pad = hot
             self.hot_starts = jnp.asarray(hot_starts_np)
             self.M = hotset.build_membership(self.postings_np, so,
                                              hot_starts_np, P_pad)
             self.MT = self.M.astype(jnp.bfloat16).T  # positions path only
+            # post-TAM planner economics: a hot chunk's fixed cost is the
+            # M stream (2*H*P bytes); each group lane adds the dense flops
+            # plus its counts_hot slab share.  Converted to the planner's
+            # gather-row-equivalents at the fused pipeline rate.
+            H = int(hot_starts_np.shape[0])
+            self._hot_chunk_rows = int(
+                2 * H * P_pad / HBM_BPS * PIPE_ROWS_PER_S) + (1 << 16)
+            self._hot_lane_rows = int(
+                (2 * H * P_pad / MXU_FLOPS + 8 * P_pad / HBM_BPS)
+                * PIPE_ROWS_PER_S)
 
         # two-phase dispatch: phase 1 probes + dedups the whole batch,
         # splits hot runs out of the expansion, and reports exact per-query
@@ -470,8 +518,23 @@ class SearchEngine(PositionBitmapServing):
         self._p2h = jax.jit(
             _phase2_hot_impl,
             static_argnames=("cap_s", "cap_t", "k", "positions",
+                             "pack_w_bits", "k_cold"),
+        )
+        # exact per-lane legacy merge, used only to re-run the rare rows
+        # whose TAM certificate fails (collect_batch); G is pinned to
+        # RERUN_B and caps to a pow4 ladder so its compile grid stays tiny
+        self._p2h_full = jax.jit(
+            _phase2_hot_legacy_impl,
+            static_argnames=("cap_s", "cap_t", "k", "positions",
                              "pack_w_bits"),
         )
+        # cold-candidate width of the TAM merge: wide enough to enumerate
+        # most queries' distinct cold rows (the certificate then binds
+        # through the hot side); measured legacy-rerun rates on the skewed
+        # bench: 10k/64 -> 0.1%, 100k/128 -> 0%, 1M/512 -> ~6%
+        P = art.num_proteins
+        self._k_cold = 64 if P <= (1 << 15) else (
+            128 if P <= (1 << 18) else 512)
         # row selection is jitted separately so _p2's compiled shapes depend
         # only on (G, L, caps, k, positions), not on the source batch size
         self._sel = jax.jit(
@@ -653,18 +716,15 @@ class SearchEngine(PositionBitmapServing):
             return [g for g in G_QUANTA
                     if g <= min(g_budget, B) or g == 16]
 
-        def hot_extra_rows():
-            # dense share of one padding row: f32 HBM streaming is ~5000x
-            # cheaper per element than a gathered row
-            H = int(self.hot_starts.shape[0])
-            P_pad = int(self.M.shape[1])
-            return max(P_pad, L * H) // 5000
-
         if self.hot_starts is None:
             hot_l = [False] * B
-        chunks.extend(_plan_normal_chunks(normal, totals_l, hot_l, caps_l,
-                                          cap_pin, groups_for,
-                                          hot_extra_rows))
+        chunks.extend(_plan_normal_chunks(
+            normal, totals_l, hot_l, caps_l, cap_pin, groups_for,
+            lambda: self._hot_lane_rows,
+            hot_chunk_rows=self._hot_chunk_rows,
+            # the TAM merge gathers counts_hot only at candidate lanes, so
+            # a hot expansion row costs the same as a cold one
+            hot_row_cost=1))
 
         # the planner chunks on EFFECTIVE volume; each chunk then gets its
         # own two-tier capacities from its members' per-tier maxima (pow2
@@ -690,6 +750,24 @@ class SearchEngine(PositionBitmapServing):
         pending = []
         for rows, G_c, eff_cap, hot in chunks:
             cap_s, cap_t = tier_caps(rows, eff_cap is None)
+            cap_e = cap_s + 128 * cap_t
+            # tier_caps pads each tier to its own bucket, which can
+            # overshoot the planner's effective-cap budget by up to ~4x
+            # (ADVICE r4): re-split the chunk at the width the true cap_e
+            # affords (2x slack tolerates ordinary bucket rounding without
+            # fragmenting; sub-chunks recompute their own, tighter caps)
+            if (not identity and G_c > 16
+                    and G_c * cap_e > 2 * MAX_EXPANSION_ELEMS):
+                g_ok = max(g for g in G_QUANTA
+                           if g <= max(2 * MAX_EXPANSION_ELEMS // cap_e, 16))
+                for s0 in range(0, len(rows), g_ok):
+                    sub = rows[s0 : s0 + g_ok]
+                    cs, ct = tier_caps(sub, eff_cap is None)
+                    pending.append(
+                        (sub, self._dispatch_group(outs1, sub, g_ok, cs, ct,
+                                                   k_full, L, positions,
+                                                   hot)))
+                continue
             if identity:
                 rows = list(range(B))
             pending.append(
@@ -697,11 +775,18 @@ class SearchEngine(PositionBitmapServing):
                                             k_full, L, positions, hot,
                                             identity=identity))
             )
-        return (pending, results, sizes, B_real, batch_ids)
+        rerun_ctx = (outs1, ts_l, tt_l, k_full, L, positions)
+        return (pending, results, sizes, B_real, batch_ids, rerun_ctx)
 
     def collect_batch(self, sched, min_top: int = 0) -> List[QueryCounts]:
         """Fetch the scheduled phase-2 chunk outputs (already copied to the
         host asynchronously) and finalize per-query results.
+
+        Hot chunks carry the TAM exactness certificate; rows it fails for
+        (rare -- see merge_hot_cold_tam) are re-dispatched here through the
+        exact legacy merge in RERUN_B-wide chunks BEFORE any per-query
+        finalization, so the re-runs overlap the host work on everything
+        else.
 
         min_top > 0 gates rows vectorized BEFORE any per-query work: a row
         whose top count is below it resolves to None instead of a
@@ -711,15 +796,46 @@ class SearchEngine(PositionBitmapServing):
         measurable share of fastq host time)."""
         if sched is None:
             return []
-        pending, results, sizes, B_real, batch_ids = sched
+        pending, results, sizes, B_real, batch_ids, rerun_ctx = sched
+        flagged: List[int] = []
+        for rows, item in pending:
+            if len(item) > 2 and item[2]:
+                ex = np.asarray(item[0][2])
+                flagged += [i for j, i in enumerate(rows)
+                            if i < B_real and not ex[j] and i not in results]
+        if flagged:
+            pending = pending + self._dispatch_legacy(rerun_ctx, flagged)
         return _finalize_pending(self._jax, pending, results, sizes, B_real,
                                  batch_ids, self, min_top)
 
+    def _dispatch_legacy(self, rerun_ctx, flagged: List[int]):
+        """Re-dispatch TAM-uncertified rows through the per-lane legacy
+        merge: RERUN_B-wide chunks, totals-sorted, caps on a pow4 ladder
+        (coarse on purpose -- each (cap_s, cap_t) pair is a compiled shape
+        and these chunks carry well under 1% of all rows)."""
+        (outs1, ts_l, tt_l, k_full, L, positions) = rerun_ctx
+        flagged = sorted(flagged, key=lambda i: -(ts_l[i] + 128 * tt_l[i]))
+        out = []
+        for c0 in range(0, len(flagged), self.RERUN_B):
+            rows = flagged[c0 : c0 + self.RERUN_B]
+            cap_s = _pow4_bucket(max(max(ts_l[i] for i in rows), CAP_MIN))
+            max_t = max(tt_l[i] for i in rows)
+            cap_t = _pow4_bucket(max(max_t, 32)) if max_t else 0
+            out.append((rows, self._dispatch_group(
+                outs1, rows, self.RERUN_B, min(cap_s, CAP_MAX), cap_t,
+                k_full, L, positions, hot=True, legacy=True)))
+        return out
+
     def _dispatch_group(self, outs1, rows: List[int], G: int, cap_s: int,
                         cap_t: int, k_full: int, L: int, positions: bool,
-                        hot: bool = False, identity: bool = False):
-        """Dispatch one phase-2 group (async); returns (outputs, pos_dev).
-        identity=True skips the row-permutation gather (rows == range(B))."""
+                        hot: bool = False, identity: bool = False,
+                        legacy: bool = False):
+        """Dispatch one phase-2 group (async); returns (outputs, pos_dev,
+        flagged) where flagged marks hot chunks whose outputs carry the
+        TAM exactness certificate at index 2 (_phase2_hot_impl).
+        identity=True skips the row-permutation gather (rows == range(B));
+        legacy=True routes through the exact per-lane merge (certificate
+        re-runs)."""
         import jax.numpy as jnp
 
         if identity:
@@ -736,19 +852,28 @@ class SearchEngine(PositionBitmapServing):
         pos_dev = positions and _positions_on_device(
             cap_e, k_full if hot else k2, L, G)
         pw = self._pack_w_bits(L)
+        if legacy:
+            outs2 = self._p2h_full(self.postings, self.M, self.MT,
+                                   self.hot_starts, offs, cum_s, wstart,
+                                   run_start, whot, cum_t, lens_l,
+                                   cap_s=cap_s, cap_t=cap_t, k=k_full,
+                                   positions=pos_dev, pack_w_bits=pw)
+            for arr in outs2:
+                arr.copy_to_host_async()
+            return outs2, pos_dev  # no certificate: the legacy merge is exact
         if hot:
             outs2 = self._p2h(self.postings, self.M, self.MT,
                               self.hot_starts, offs, cum_s, wstart,
                               run_start, whot, cum_t, lens_l, cap_s=cap_s,
                               cap_t=cap_t, k=k_full, positions=pos_dev,
-                              pack_w_bits=pw)
+                              pack_w_bits=pw, k_cold=self._k_cold)
         else:
             outs2 = self._p2(self.postings, offs, cum_s, wstart, run_start,
                              cum_t, lens_l, cap_s=cap_s, cap_t=cap_t, k=k2,
                              positions=pos_dev, pack_w_bits=pw)
         for arr in outs2:
             arr.copy_to_host_async()
-        return outs2, pos_dev
+        return outs2, pos_dev, hot
 
     def _pack_w_bits(self, L: int) -> int:
         """Single-key sort packing width for this query length: weights and
@@ -795,7 +920,8 @@ class SearchEngine(PositionBitmapServing):
     WARM_CAPS = (CAP_MIN, 80, 96, 128, 160, 192, 256, 320, 384, 512)
 
     def warmup(self, batch_sizes=(16, 2048), lengths=(64, 128, 256, 512),
-               positions=(False, True), caps=None) -> None:
+               positions=(False, True), caps=None,
+               cap_ts=(0, 32, 128)) -> None:
         """Pre-compile the serving shape grid: phase 1 per (B, L), and EVERY
         phase-2 shape the group scheduler can emit for the cap ladder --
         (G, L, cap, positions) for the cold path and the hot matmul path,
@@ -826,21 +952,29 @@ class SearchEngine(PositionBitmapServing):
                     except Exception:
                         pass
         # phase-2 shapes, compiled directly with zero inputs (a dispatch
-        # can't steer synthetic text onto arbitrary caps or hot sets)
+        # can't steer synthetic text onto arbitrary caps or hot sets).
+        # cap_t > 0 shapes are warmed too: any chunk containing a postings
+        # run >= T_SPLIT dispatches a two-tier shape, which on skewed data
+        # is the COMMON case, not the tail (ADVICE r4) -- the tile-row
+        # ladder here covers the serving grid's low rungs.
         B_max = max(batch_sizes)
         k_full = _next_pow2(max(10, TOPK_MIN))
         hots = (False, True) if self.hot_starts is not None else (False,)
         for pos in positions:
             for hot in hots:
-                for capv in caps:
-                    for L in lengths:
-                        for G in self._quantized_groups(capv, B_max, hot, L):
-                            try:
-                                self._warm_p2(G, L, capv, k_full, pos, hot)
-                            except Exception:
-                                pass
+                for cap_t in cap_ts:
+                    for capv in caps:
+                        cap_eff = capv + 128 * cap_t
+                        for L in lengths:
+                            for G in self._quantized_groups(cap_eff, B_max,
+                                                            hot, L):
+                                try:
+                                    self._warm_p2(G, L, capv, cap_t,
+                                                  k_full, pos, hot)
+                                except Exception:
+                                    pass
 
-    def _warm_p2(self, G: int, L: int, cap: int, k_full: int,
+    def _warm_p2(self, G: int, L: int, cap: int, cap_t: int, k_full: int,
                  pos: bool, hot: bool) -> None:
         """Compile one phase-2 shape (zero-input dispatch, result discarded)."""
         import jax.numpy as jnp
@@ -848,16 +982,18 @@ class SearchEngine(PositionBitmapServing):
         z = jnp.zeros((G, L), jnp.int32)
         offs = jnp.full((G, L), self.miss_start, jnp.int32)
         pw = self._pack_w_bits(L)
+        cap_e = cap + 128 * cap_t
         if hot:
             self._p2h(self.postings, self.M, self.MT, self.hot_starts,
-                      offs, z, z + 1, z, z, z, z, cap_s=cap, cap_t=0,
+                      offs, z, z + 1, z, z, z, z, cap_s=cap, cap_t=cap_t,
                       k=k_full, positions=pos and _positions_on_device(
-                          cap, k_full, L, G), pack_w_bits=pw)
+                          cap_e, k_full, L, G), pack_w_bits=pw,
+                      k_cold=self._k_cold)
         else:
-            k2 = min(k_full, cap)
+            k2 = min(k_full, cap_e)
             self._p2(self.postings, offs, z, z + 1, z, z, z, cap_s=cap,
-                     cap_t=0, k=k2,
-                     positions=pos and _positions_on_device(cap, k2, L, G),
+                     cap_t=cap_t, k=k2,
+                     positions=pos and _positions_on_device(cap_e, k2, L, G),
                      pack_w_bits=pw)
 
 # ---------------------------------------------------------------------------
@@ -926,17 +1062,74 @@ def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
             cum_s[:, -1], cum_t[:, -1], whot.sum(axis=1))
 
 
+def _pow4_bucket(n: int) -> int:
+    """Smallest power of FOUR >= n (the legacy-rerun cap ladder: coarse to
+    keep its compiled-shape count tiny; <=4x padding on <1% of rows)."""
+    p = 1
+    while p < n:
+        p <<= 2
+    return p
+
+
 def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum_s, wstart,
                      run_start, whot, cum_t, lens_l, *, cap_s, cap_t, k,
-                     positions=False, pack_w_bits=0):
+                     positions=False, pack_w_bits=0, k_cold=0):
     """Phase 2 for a group containing hot runs: two-tier cold expansion +
-    dense hot matmul + exact candidate-union merge (ops/hotset.py).
+    dense hot matmul + threshold-algorithm merge (ops/hotset.py).
 
-    Returns the same (counts, hit_rows[, bitmaps]) contract as
-    _phase2_grouped_impl; results are identical to expanding the hot sets,
-    integer-exact (f32 accumulation of ints < 2^24)."""
+    Returns (counts, hit_rows, exact[, bitmaps]) -- one more output than
+    _phase2_grouped_impl: `exact` bool[G] certifies each row's top-k; the
+    engine re-runs uncertified rows on the host (merge_hot_cold_tam
+    docstring -- rare by construction).  With pack_w_bits == 0 (giant-DB
+    unpacked-sort fallback) the candidate payloads cannot fit 32 bits, so
+    the per-lane candidate-union merge is used instead and `exact` is
+    constant True (that merge gathers counts_hot at every lane: exact,
+    just slower)."""
     import jax.numpy as jnp
 
+    from ..ops.count import (expand_hybrid, expand_run_bitmaps,
+                             member_bitmap_from_rows, pack_bits, sort_rle)
+    from ..ops.hotset import (CAND_K, hot_lane_mask, hot_matmul,
+                              hot_position_bitmaps, hot_weights,
+                              merge_hot_cold, merge_hot_cold_tam)
+
+    rows, seg, valid, w = expand_hybrid(postings, offs, cum_s, wstart,
+                                        cum_t, lens_l, cap_s, cap_t)
+    W = hot_weights(offs, whot, hot_starts)
+    counts_hot = hot_matmul(W, M, max_w=offs.shape[1])
+    if pack_w_bits:
+        counts, hit_rows, exact = merge_hot_cold_tam(
+            counts_hot, rows, w, k, pack_w_bits=pack_w_bits,
+            k_cand=max(CAND_K, k), k_cold=max(k_cold, k))
+    else:
+        s_rows, cold_counts, is_start = sort_rle(rows, weights=w,
+                                                 pack_w_bits=0)
+        counts, hit_rows = merge_hot_cold(counts_hot, s_rows, cold_counts,
+                                          is_start, k, pack_w_bits=0)
+        exact = jnp.ones(counts.shape[0], dtype=bool)
+    if not positions:
+        return counts, hit_rows, exact
+    found = member_bitmap_from_rows(rows, seg, hit_rows, offs.shape[1])
+    found = expand_run_bitmaps(found, run_start)
+    hot_lanes = hot_lane_mask(whot, run_start)
+    found = found | hot_position_bitmaps(offs, hot_lanes, hot_starts, MT,
+                                         hit_rows)
+    found = found & (counts[:, :, None] > 0)
+    return counts, hit_rows, exact, pack_bits(found)
+
+
+def _phase2_hot_legacy_impl(postings, M, MT, hot_starts, offs, cum_s,
+                            wstart, run_start, whot, cum_t, lens_l, *,
+                            cap_s, cap_t, k, positions=False,
+                            pack_w_bits=0):
+    """Exact per-lane candidate-union hot merge (merge_hot_cold): gathers
+    counts_hot at every expanded lane, so it is never shape- or
+    data-dependent-wrong -- but ~17 ns/lane.  Serving uses it ONLY to
+    re-run the rare rows whose TAM certificate fails (RERUN_B-wide
+    chunks, engine._dispatch_legacy); the sharded engine's group kernel
+    (parallel/mesh.py) uses the same merge as its primary.
+
+    Returns (counts, hit_rows[, bitmaps]) -- no certificate output."""
     from ..ops.count import (expand_hybrid, expand_run_bitmaps,
                              member_bitmap_from_rows, pack_bits, sort_rle)
     from ..ops.hotset import (hot_lane_mask, hot_matmul,

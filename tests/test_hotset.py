@@ -265,3 +265,158 @@ def test_hot_matmul_exact_bf16_split():
         out32 = np.asarray(hotset.hot_matmul(
             jnp.asarray(W_np), jnp.asarray(M_np), max_w=max_w))
         np.testing.assert_array_equal(out32, ref)
+
+
+def _tam_oracle(counts_hot, rows, w, k):
+    """Brute-force exact top-k of hot+cold totals with the (count desc,
+    row asc) tie-break, from the pre-sort expansion multiset."""
+    G, P = counts_hot.shape
+    outc = np.zeros((G, k), np.int32)
+    outr = np.full((G, k), 0xFFFFFFFF, np.uint32)
+    for g in range(G):
+        tot = counts_hot[g].astype(np.int64).copy()
+        real = rows[g] != np.uint32(0xFFFFFFFF)
+        np.add.at(tot, rows[g][real].astype(np.int64), w[g][real])
+        nz = np.flatnonzero(tot)
+        order = np.lexsort((nz, -tot[nz]))[:k]
+        outc[g, : order.size] = tot[nz[order]]
+        outr[g, : order.size] = nz[order].astype(np.uint32)
+    return outc, outr
+
+
+@pytest.mark.parametrize("pack_w_bits", [9])
+def test_merge_tam_matches_bruteforce(pack_w_bits):
+    """Randomized differential test of the threshold merge: certified rows
+    must equal the brute-force totals exactly (counts AND rows); the
+    fallback flag itself must be sound (uncertified rows are allowed, but
+    every certified row is checked)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    G, P, cap, k = 16, 4096, 512, 16
+    counts_hot = (rng.integers(0, 9, size=(G, P))
+                  * (rng.random((G, P)) < 0.02)).astype(np.float32)
+    rows = rng.integers(0, P, size=(G, cap)).astype(np.uint32)
+    w = rng.integers(1, 6, size=(G, cap)).astype(np.int32)
+    pad = rng.random((G, cap)) < 0.3
+    rows[pad] = 0xFFFFFFFF
+    w[pad] = 0
+    c, h, ex = hotset.merge_hot_cold_tam(
+        jnp.asarray(counts_hot), jnp.asarray(rows), jnp.asarray(w), k,
+        pack_w_bits=pack_w_bits)
+    c, h, ex = np.asarray(c), np.asarray(h), np.asarray(ex)
+    wc, wh = _tam_oracle(counts_hot, rows, w, k)
+    assert ex.sum() >= G - 2, "certificate should almost always hold here"
+    np.testing.assert_array_equal(c[ex], wc[ex])
+    np.testing.assert_array_equal(h[ex], wh[ex])
+
+
+def test_merge_tam_certifies_uniform_plateau():
+    """The common shared-domain case: every contending row has the SAME
+    (cold, hot) split, the k-th boundary sits mid-plateau.  tau == bound
+    here, but the plateau extension must certify it (C1/H2 pick the tier's
+    lowest rows, so the result is exact) -- this is precisely the case
+    that made the strict tau > bound certificate fall back on 23% of the
+    skewed bench queries."""
+    import jax.numpy as jnp
+
+    G, P, k = 4, 8192, 16
+    cap = 4 * hotset.CAND_K
+    rows = np.tile(np.arange(cap, dtype=np.uint32), (G, 1))
+    w = np.ones((G, cap), np.int32)
+    counts_hot = np.zeros((G, P), np.float32)
+    counts_hot[:, :cap] = 1.0
+    c, h, ex = hotset.merge_hot_cold_tam(
+        jnp.asarray(counts_hot), jnp.asarray(rows), jnp.asarray(w), k,
+        pack_w_bits=9)
+    assert np.asarray(ex).all()
+    np.testing.assert_array_equal(np.asarray(c), np.full((G, k), 2))
+    np.testing.assert_array_equal(np.asarray(h),
+                                  np.tile(np.arange(k), (G, 1)))
+
+
+def test_merge_tam_flags_uncertifiable_rows():
+    """Disjoint flat cold and hot tiers wider than CAND_K: every total is
+    1 but bound == 2, and no certificate clause applies -- the flag must
+    come back False (the engine then re-runs on the host), never a
+    silently wrong answer."""
+    import jax.numpy as jnp
+
+    G, P, k = 4, 8192, 16
+    cap = 4 * hotset.CAND_K
+    rows = np.tile(np.arange(cap, dtype=np.uint32), (G, 1))  # cold rows
+    w = np.ones((G, cap), np.int32)
+    counts_hot = np.zeros((G, P), np.float32)
+    counts_hot[:, 4096 : 4096 + cap] = 1.0                   # hot rows
+    c, h, ex = hotset.merge_hot_cold_tam(
+        jnp.asarray(counts_hot), jnp.asarray(rows), jnp.asarray(w), k,
+        pack_w_bits=9)
+    assert not np.asarray(ex).any()
+
+
+def test_merge_tam_unique_hit_rows():
+    """C1/H2 overlap must be deduplicated: no row may appear twice in the
+    final top-k."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    G, P, cap, k = 8, 2048, 256, 16
+    # heavy overlap: hot mass concentrated on the same rows the cold
+    # expansion hits
+    hotrows = rng.integers(0, 64, size=(G, 8))
+    counts_hot = np.zeros((G, P), np.float32)
+    for g in range(G):
+        counts_hot[g, hotrows[g]] = rng.integers(5, 50, size=8)
+    rows = rng.integers(0, 64, size=(G, cap)).astype(np.uint32)
+    w = np.ones((G, cap), np.int32)
+    c, h, ex = hotset.merge_hot_cold_tam(
+        jnp.asarray(counts_hot), jnp.asarray(rows), jnp.asarray(w), k,
+        pack_w_bits=9)
+    c, h = np.asarray(c), np.asarray(h)
+    wc, wh = _tam_oracle(counts_hot, rows, w, k)
+    for g in range(G):
+        real = h[g][c[g] > 0]
+        assert len(set(real.tolist())) == len(real)
+    ex = np.asarray(ex)
+    np.testing.assert_array_equal(c[ex], wc[ex])
+    np.testing.assert_array_equal(h[ex], wh[ex])
+
+
+def test_legacy_rerun_path_matches(skewed_db):
+    """Force the TAM certificate to fail (tiny k_cold) so collect_batch
+    re-runs rows through the legacy per-lane merge on device; results must
+    equal the hot-disabled engine's exact output, including with min_top
+    gating."""
+    art, _oracle, _seqs, _doms = skewed_db
+    eng = SearchEngine(art)
+    eng._k_cold = 16  # starve the cold candidate list -> frequent flags
+    ref = SearchEngine(art, hot=False)
+    rng = np.random.default_rng(5)
+    n = art.num_proteins
+    queries = []
+    for _ in range(64):
+        row = int(rng.integers(0, n))
+        seq = art.sequence(row)[:120]
+        queries.append((seq * 3)[:120])
+    sizes = [len(q) - 6 for q in queries]
+
+    n_legacy = []
+    orig = eng._dispatch_legacy
+    eng._dispatch_legacy = (
+        lambda ctx, fl: n_legacy.append(len(fl)) or orig(ctx, fl))
+    res = eng.count_batch(queries, sizes, k=10)
+    want = ref.count_batch(queries, sizes, k=10)
+    assert sum(n_legacy) > 0, "test no longer exercises the rerun path"
+    for a, b in zip(res, want):
+        np.testing.assert_array_equal(a.hit_rows, b.hit_rows)
+        np.testing.assert_array_equal(a.counts, b.counts)
+
+    # min_top gating must use the re-run (exact) counts, not TAM's bounds
+    h = eng.dispatch_batch(queries, sizes, k=10)
+    gated = eng.resolve_batch(h, min_top=30)
+    for g, b in zip(gated, want):
+        if int(b.counts[0]) if len(b.counts) else 0 >= 30:
+            assert g is not None
+            np.testing.assert_array_equal(g.hit_rows, b.hit_rows)
+        elif g is not None:
+            assert int(g.counts[0]) >= 30
