@@ -18,7 +18,7 @@ gather-rate cost model.  Terms:
               async dispatch issue)
   e2e         pipelined dispatch->schedule->collect over all batches
 
-Writes SCALE_FLOOR_r04.json at the repo root.
+Writes SCALE_FLOOR_r05.json at the repo root.
 Run: python scripts/scale_floor.py [db] [n_queries=2048]
 """
 
@@ -113,11 +113,11 @@ orig_dispatch = SearchEngine._dispatch_group
 
 
 def recording_dispatch(self, outs1, rows, G, cap_s, cap_t, k_full, L,
-                       positions, hot=False, identity=False):
+                       positions, hot=False, identity=False, legacy=False):
     plan.append((outs1, list(rows), G, cap_s, cap_t, k_full, L, positions,
                  hot, identity))
     return orig_dispatch(self, outs1, rows, G, cap_s, cap_t, k_full, L,
-                         positions, hot, identity=identity)
+                         positions, hot, identity=identity, legacy=legacy)
 
 
 handles = [engine.dispatch_batch(q, s, k=10) for q, s in batches()]
@@ -148,9 +148,9 @@ for outs1, rows, G, cap_s, cap_t, k_full, Lc, positions, hot, identity \
     def once(outs1=outs1, rows=rows, G=G, cap_s=cap_s, cap_t=cap_t,
              k_full=k_full, Lc=Lc, positions=positions, hot=hot,
              identity=identity):
-        outs2, _ = orig_dispatch(engine, outs1, rows, G, cap_s, cap_t,
-                                 k_full, Lc, positions, hot,
-                                 identity=identity)
+        outs2 = orig_dispatch(engine, outs1, rows, G, cap_s, cap_t,
+                              k_full, Lc, positions, hot,
+                              identity=identity)[0]
         return outs2[0]
 
     once()  # warm (compiled already during scheduling)
@@ -216,6 +216,14 @@ for s_ in scheds2:
 
 
 # --- end to end ---------------------------------------------------------------
+# count TAM-certificate legacy reruns (collect_batch re-dispatches) so the
+# artifact records how much work the certificate sends down the slow path
+_rerun_rows = []
+_orig_legacy = engine._dispatch_legacy
+engine._dispatch_legacy = (
+    lambda ctx, fl: _rerun_rows.append(len(fl)) or _orig_legacy(ctx, fl))
+
+
 def run_full():
     hs = [engine.dispatch_batch(q, s, k=10) for q, s in batches()]
     ss = [engine.schedule_batch(h) for h in hs]
@@ -226,12 +234,14 @@ def run_full():
 t_full = timed(run_full)
 out["e2e_s"] = round(t_full, 4)
 out["e2e_qps"] = round(NQ / t_full, 1)
+out["tam_rerun_rows_total_all_passes"] = int(sum(_rerun_rows))
+out["tam_rerun_dispatches"] = len(_rerun_rows)
 out["read_as"] = (
     "e2e per-batch time vs the sum of its measured parts; phase2 classes "
     "carry their own gathered-row rate to compare against gather_ref (the "
     "hardware wall for this postings array)")
 
-path = os.path.join(REPO, "SCALE_FLOOR_r04.json")
+path = os.path.join(REPO, "SCALE_FLOOR_r05.json")
 with open(path, "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out, indent=1))
