@@ -406,11 +406,17 @@ def main() -> None:
 
     import tempfile
 
-    note("fastq pipeline")
-    rng = np.random.default_rng(7)
-    with tempfile.TemporaryDirectory() as td:
-        fastq_rps = bench_fastq(engine10k, art10k, rng, td)
-    note(f"fastq done t={time.perf_counter()-t_start:.0f}s")
+    fastq_rps = None
+    if engine10k is None:
+        # KAAMER_BENCH_SIZES without the 10k DB: the fastq/aln sections
+        # need the headline engine -- skip them instead of crashing
+        os.environ["KAAMER_BENCH_NO_ALIGN"] = "1"
+    else:
+        note("fastq pipeline")
+        rng = np.random.default_rng(7)
+        with tempfile.TemporaryDirectory() as td:
+            fastq_rps = bench_fastq(engine10k, art10k, rng, td)
+        note(f"fastq done t={time.perf_counter()-t_start:.0f}s")
 
     aligned_qps = None
     align_device = None
@@ -436,7 +442,7 @@ def main() -> None:
         finally:
             signal.alarm(0)
 
-    head = per_db[str(DB_PROTEINS)]
+    head = per_db.get(str(DB_PROTEINS)) or next(iter(per_db.values()))
     cpu = _cpu_baseline()
     vs = round(head["qps"] / cpu["queries_per_s"], 2) if cpu else None
     vs_1m = None
@@ -470,7 +476,7 @@ def main() -> None:
                     "vs_baseline_1m": vs_1m,
                     "skewed_db": per_db,
                     "random_db_qps_10k": round(random_qps, 1),
-                    "fastq_reads_per_s": round(fastq_rps, 1),
+                    "fastq_reads_per_s": (fastq_rps and round(fastq_rps, 1)),
                     "aligned_pairs_per_s": aligned_qps,
                     "align_on_device": align_device,
                     "aln_queries_per_s": aln_e2e_qps,

@@ -315,9 +315,12 @@ def merge_hot_cold_tam(counts_hot, rows, w, k: int, pack_w_bits: int = 0,
     rows/w:     uint32/int32[G, cap] expanded cold multiset PRE-sort, as
                 produced by expand_hybrid (ROW_SENTINEL padding, w=0 there;
                 every real entry has w >= 1)
-    pack_w_bits: single-key packing as in sort_rle; requires row + count to
-                fit 32 bits (cold and hot counts are matched-position
-                tallies over DISJOINT position sets, so total <= L < 2^bits)
+    pack_w_bits: single-key packing as in sort_rle; the single-sort
+                candidate extraction additionally spends one key bit on
+                the injected flag, so rows must fit 31 - bits (callers
+                gate on P < 2^(31-bits); counts are matched-position
+                tallies over DISJOINT hot/cold position sets, so
+                total <= L < 2^bits)
     Returns (counts int32[G, k], hit_rows uint32[G, k], exact bool[G]).
     """
     G, P = counts_hot.shape
@@ -363,55 +366,70 @@ def merge_hot_cold_tam(counts_hot, rows, w, k: int, pack_w_bits: int = 0,
         reverse=True)
     counts_rle = jnp.where(is_start, wc_end - wc + wv, 0).astype(jnp.int32)
 
-    # ---- H2 candidates: compact the injected run heads ----
-    # an injected entry is the only zero-weight non-sentinel lane of its
-    # run and sorts first, so it IS the run head; its RLE count is the
-    # row's exact cold count.  Exactly k_cand injected lanes exist per
-    # query with distinct rows, so a top-k_cand over a packed
-    # (row, cold_count) payload extracts all of them.
-    cb = max(pack_w_bits, 1) if pack_w_bits else 16
+    # ---- candidate extraction: ONE (count desc, row asc) sort ----
+    # key = [injected? 0 : 1](1 bit) | ~count(cb bits) | row(rb bits),
+    # ascending.  An injected entry is the only zero-weight non-sentinel
+    # lane of its run and sorts first within it, so it IS the run head and
+    # its RLE count is the row's exact cold count.  Exactly k_cand
+    # injected heads exist per query (distinct rows), so after the sort
+    # the FIRST k_cand lanes are the H2 candidates with their exact cold
+    # counts, and the NEXT k_cold lanes are the top cold rows among
+    # NON-injected distinct rows -- exactly the C1 the certificate needs:
+    # an injected row is already an exact candidate via H2, and an outside
+    # row is by definition non-injected, so both the cc bound and the
+    # plateau row bound remain valid over the non-injected population.
+    # (This replaces a separate cold-top sort plus a width-cap_e top_k of
+    # the injected payloads -- the two largest non-RLE costs per chunk.)
     inj_lane = is_start & (wv == 0) & ~sent
-    pay = jnp.where(
-        inj_lane,
-        ((s.astype(jnp.uint32) << cb)
-         | jnp.minimum(counts_rle, (1 << cb) - 1).astype(jnp.uint32)) + 1,
-        jnp.uint32(0))
-    # rows within a query are unique among injected lanes -> payloads
-    # unique; descending top_k then yields rows in DESCENDING row order
-    pay_top, _ = jax.lax.top_k(pay, k_cand)
-    cand_s = ((pay_top - 1) >> cb)[:, ::-1]                  # asc by row
-    cand_cold = ((pay_top - 1) & jnp.uint32((1 << cb) - 1))[:, ::-1]
+    cb = max(pack_w_bits, 1) if pack_w_bits else 16
+    if pack_w_bits:
+        rb = 31 - pack_w_bits  # top bit flags non-injected
+        cmax = jnp.uint32((1 << pack_w_bits) - 1)
+        base = (((cmax - counts_rle.astype(jnp.uint32)) << rb)
+                | s.astype(jnp.uint32))
+        ckey = jnp.where(
+            inj_lane, base,
+            jnp.where(counts_rle > 0, base | jnp.uint32(0x80000000),
+                      SENT32))
+        ckey = jnp.sort(ckey, axis=1)
+        inj_keys = jax.lax.slice_in_dim(ckey, 0, k_cand, axis=1)
+        c1_keys = jax.lax.slice_in_dim(ckey, k_cand, k_cand + k_cold,
+                                       axis=1)
+        rmask = jnp.uint32((1 << rb) - 1)
+        cand_cold_byc = (cmax - (inj_keys >> rb)).astype(jnp.int32)
+        cand_s_byc = inj_keys & rmask
+        # align with the hot values: re-sort both tiny lists by row asc
+        rkey = ((cand_s_byc << cb)
+                | jnp.minimum(cand_cold_byc, (1 << cb) - 1
+                              ).astype(jnp.uint32))
+        rkey = jnp.sort(rkey, axis=1)
+        cand_s = rkey >> cb
+        cand_cold = (rkey & jnp.uint32((1 << cb) - 1)).astype(jnp.int32)
+        csent = c1_keys == SENT32
+        cc = jnp.where(
+            csent, 0,
+            (cmax - ((c1_keys & jnp.uint32(0x7FFFFFFF)) >> rb)
+             ).astype(jnp.int32))
+        rows_c = jnp.where(csent, ROW_SENTINEL, c1_keys & rmask)
+    else:
+        pay = jnp.where(
+            inj_lane,
+            ((s.astype(jnp.uint32) << cb)
+             | jnp.minimum(counts_rle, (1 << cb) - 1).astype(jnp.uint32))
+            + 1,
+            jnp.uint32(0))
+        pay_top, _ = jax.lax.top_k(pay, k_cand)
+        cand_s = ((pay_top - 1) >> cb)[:, ::-1]              # asc by row
+        cand_cold = (((pay_top - 1) & jnp.uint32((1 << cb) - 1))[:, ::-1]
+                     ).astype(jnp.int32)
+        cc, pos = jax.lax.top_k(counts_rle, k_cold)
+        rows_c = jnp.where(cc > 0, jnp.take_along_axis(s, pos, axis=1),
+                           ROW_SENTINEL)
     # align the hot values: sort (hi, hv) ascending by row
     hkey = (cand.astype(jnp.uint32) << cb) | hv_i.astype(jnp.uint32)
     hkey = jnp.sort(hkey, axis=1)
     cand_hot = (hkey & jnp.uint32((1 << cb) - 1)).astype(jnp.int32)
-    cand_tot = cand_cold.astype(jnp.int32) + cand_hot
-
-    # ---- C1 candidates: top cold rows + tiny hot gathers ----
-    # (count desc, row asc) top-k_cold by one packed ascending sort:
-    # key = (~count) << row_bits | row.  O(cap) whatever k_cold is, so the
-    # cold candidate list can be sized to ENUMERATE most queries' distinct
-    # cold rows at large scale (the certificate then binds through the hot
-    # side alone).  Only run-head lanes carry a positive count; the rest
-    # key to the sentinel.
-    if pack_w_bits:
-        rb = 32 - pack_w_bits
-        cmax = jnp.uint32((1 << pack_w_bits) - 1)
-        ckey = jnp.where(
-            counts_rle > 0,
-            ((cmax - counts_rle.astype(jnp.uint32)) << rb)
-            | s.astype(jnp.uint32), SENT32)
-        ckey = jax.lax.slice_in_dim(jnp.sort(ckey, axis=1), 0, k_cold,
-                                    axis=1)
-        csent = ckey == SENT32
-        cc = jnp.where(csent, 0,
-                       (cmax - (ckey >> rb)).astype(jnp.int32))
-        rows_c = jnp.where(csent, ROW_SENTINEL,
-                           ckey & jnp.uint32((1 << rb) - 1))
-    else:
-        cc, pos = jax.lax.top_k(counts_rle, k_cold)
-        rows_c = jnp.where(cc > 0, jnp.take_along_axis(s, pos, axis=1),
-                           ROW_SENTINEL)
+    cand_tot = cand_cold + cand_hot
     # largest selected row of the k_cold-th cold-count tier (selection is
     # row-asc within the tier, so the LAST entry is the tier's max
     # selected row); feeds the plateau certificate below

@@ -84,13 +84,15 @@ MAX_EXPANSION_ELEMS = 1 << 24
 # f32[G, P_pad] plus a [G, L, H] one-hot indicator (ops/hotset.py), neither
 # of which the cold G*cap budget tracks -- without this cap a hot group at
 # G=2048, P_pad=2^20 is a multi-GB intermediate (HBM exhaustion on v5e).
-# 1 GB (of 16 GB v5e HBM; the index itself is small) lets skewed batches
-# run hot groups at G=2048 on small databases -- each extra dispatch costs
-# ~0.5-1 ms of host/tunnel time.  Raising it further measured SLOWER at
-# 100k proteins (24.2k vs 27.9k q/s): the dense cost is per-QUERY
-# (P_pad bytes of counts_hot + top-k read each), so wider groups only add
-# padding once dispatch overhead is amortized.
-HOT_DENSE_BYTES = 1 << 30
+# 4 GB (of 16 GB v5e HBM; at 1M the index is ~0.7 GB and M+MT ~4 GB at
+# H=1024) affords hot G=1024 at 1M proteins: SCALE_FLOOR_r05 showed hot
+# chunk COUNT as the dominant residual (42 chunks x ~15-40 ms fixed M
+# stream + slab + TAM sorts per 8192 queries), so wide chunks amortize
+# the fixed costs; the planner's per-lane dense charge
+# (engine._hot_lane_rows) keeps small databases from over-widening (the
+# r2-era 1 GB cap measured faster at 100k only because that charge did
+# not exist yet).
+HOT_DENSE_BYTES = 4 << 30
 
 
 # One COLD phase-2 dispatch costs ~2.5-3 ms end to end (issue + fixed
@@ -629,13 +631,18 @@ class SearchEngine(PositionBitmapServing):
     def _quantized_groups(self, cap: int, B: int, hot: bool,
                           L: int) -> List[int]:
         """The group widths schedule_batch can emit for this (cap, hot, L):
-        G_QUANTA clamped by the expansion and dense-path budgets.
+        G_QUANTA clamped by the expansion and dense-path budgets.  Hot
+        groups additionally get the 1024 rung: their fixed per-chunk costs
+        (M stream + counts_hot slab + TAM sorts) dominate at 1M scale, so
+        the planner wants the widest chunk the dense budget affords.
         warmup iterates exactly this set, so a warmed engine never compiles
         a new phase-2 shape at serving time."""
         g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap).bit_length() - 1)
+        quanta = G_QUANTA
         if hot and self.hot_starts is not None:
             g_budget = min(g_budget, self._hot_g_max(L))
-        return [g for g in G_QUANTA if g <= min(g_budget, B) or g == 16]
+            quanta = tuple(sorted(set(G_QUANTA) | {1024}))
+        return [g for g in quanta if g <= min(g_budget, B) or g == 16]
 
     def schedule_batch(self, handle):
         """Schedule phase 2 from the batch's exact totals: group queries,
@@ -707,14 +714,11 @@ class SearchEngine(PositionBitmapServing):
         # stays quantized to G_QUANTA -- every extra (G, caps) tuple is a
         # 20-60s remote compile on a tunneled chip
         def groups_for(cap_c, hot0):
-            g_budget = max(16, 1 << (MAX_EXPANSION_ELEMS // cap_c
-                                     ).bit_length() - 1) if not cap_pin else B
-            if hot0:
-                # the dense hot path's [G, P_pad] / [G, L, H] intermediates
-                # are budgeted separately (HOT_DENSE_BYTES)
-                g_budget = min(g_budget, self._hot_g_max(L))
-            return [g for g in G_QUANTA
-                    if g <= min(g_budget, B) or g == 16]
+            if cap_pin:  # warmup pins caps; only the dense budget clamps
+                g_budget = (min(B, self._hot_g_max(L))
+                            if hot0 and self.hot_starts is not None else B)
+                return [g for g in G_QUANTA if g <= g_budget or g == 16]
+            return self._quantized_groups(cap_c, B, hot0, L)
 
         if self.hot_starts is None:
             hot_l = [False] * B
@@ -810,17 +814,18 @@ class SearchEngine(PositionBitmapServing):
 
     def _dispatch_legacy(self, rerun_ctx, flagged: List[int]):
         """Re-dispatch TAM-uncertified rows through the per-lane legacy
-        merge: RERUN_B-wide chunks, totals-sorted, caps on a pow4 ladder
-        (coarse on purpose -- each (cap_s, cap_t) pair is a compiled shape
-        and these chunks carry well under 1% of all rows)."""
+        merge: RERUN_B-wide chunks, totals-sorted, pow2 tier caps (the
+        heavy-outlier rerun ladder -- per-lane cost matters here since the
+        legacy merge gathers counts_hot at EVERY lane, so cap padding is
+        paid double)."""
         (outs1, ts_l, tt_l, k_full, L, positions) = rerun_ctx
         flagged = sorted(flagged, key=lambda i: -(ts_l[i] + 128 * tt_l[i]))
         out = []
         for c0 in range(0, len(flagged), self.RERUN_B):
             rows = flagged[c0 : c0 + self.RERUN_B]
-            cap_s = _pow4_bucket(max(max(ts_l[i] for i in rows), CAP_MIN))
+            cap_s = _next_pow2(max(max(ts_l[i] for i in rows), CAP_MIN))
             max_t = max(tt_l[i] for i in rows)
-            cap_t = _pow4_bucket(max(max_t, 32)) if max_t else 0
+            cap_t = max(32, _next_pow2(max_t)) if max_t else 0
             out.append((rows, self._dispatch_group(
                 outs1, rows, self.RERUN_B, min(cap_s, CAP_MAX), cap_t,
                 k_full, L, positions, hot=True, legacy=True)))
@@ -1062,15 +1067,6 @@ def _phase1_impl(table, codes, n_kmers, *, hash_log2, miss_start,
             cum_s[:, -1], cum_t[:, -1], whot.sum(axis=1))
 
 
-def _pow4_bucket(n: int) -> int:
-    """Smallest power of FOUR >= n (the legacy-rerun cap ladder: coarse to
-    keep its compiled-shape count tiny; <=4x padding on <1% of rows)."""
-    p = 1
-    while p < n:
-        p <<= 2
-    return p
-
-
 def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum_s, wstart,
                      run_start, whot, cum_t, lens_l, *, cap_s, cap_t, k,
                      positions=False, pack_w_bits=0, k_cold=0):
@@ -1079,12 +1075,12 @@ def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum_s, wstart,
 
     Returns (counts, hit_rows, exact[, bitmaps]) -- one more output than
     _phase2_grouped_impl: `exact` bool[G] certifies each row's top-k; the
-    engine re-runs uncertified rows on the host (merge_hot_cold_tam
-    docstring -- rare by construction).  With pack_w_bits == 0 (giant-DB
-    unpacked-sort fallback) the candidate payloads cannot fit 32 bits, so
-    the per-lane candidate-union merge is used instead and `exact` is
-    constant True (that merge gathers counts_hot at every lane: exact,
-    just slower)."""
+    engine re-runs uncertified rows through the legacy merge on device
+    (merge_hot_cold_tam docstring -- rare by construction).  When the
+    packed keys cannot hold row + count + the injected flag (pack_w_bits
+    == 0, or P >= 2^(31-bits) on giant DBs) the per-lane candidate-union
+    merge serves directly and `exact` is constant True (that merge
+    gathers counts_hot at every lane: exact, just slower)."""
     import jax.numpy as jnp
 
     from ..ops.count import (expand_hybrid, expand_run_bitmaps,
@@ -1097,15 +1093,19 @@ def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum_s, wstart,
                                         cum_t, lens_l, cap_s, cap_t)
     W = hot_weights(offs, whot, hot_starts)
     counts_hot = hot_matmul(W, M, max_w=offs.shape[1])
-    if pack_w_bits:
+    # TAM's single-sort extraction spends one key bit on the injected
+    # flag, so rows must fit 31 - bits (vs the engine's 32 - bits packing
+    # gate); beyond that the per-lane legacy merge serves directly
+    if pack_w_bits and M.shape[1] < (1 << (31 - pack_w_bits)):
         counts, hit_rows, exact = merge_hot_cold_tam(
             counts_hot, rows, w, k, pack_w_bits=pack_w_bits,
             k_cand=max(CAND_K, k), k_cold=max(k_cold, k))
     else:
         s_rows, cold_counts, is_start = sort_rle(rows, weights=w,
-                                                 pack_w_bits=0)
+                                                 pack_w_bits=pack_w_bits)
         counts, hit_rows = merge_hot_cold(counts_hot, s_rows, cold_counts,
-                                          is_start, k, pack_w_bits=0)
+                                          is_start, k,
+                                          pack_w_bits=pack_w_bits)
         exact = jnp.ones(counts.shape[0], dtype=bool)
     if not positions:
         return counts, hit_rows, exact
