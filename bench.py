@@ -193,8 +193,13 @@ def bench_protein(engine, queries, positions: bool, passes: int = 3) -> float:
             for i in range(0, n, BATCH)
         ]
         # schedule all phase-2 work before collecting any: the device queue
-        # stays full while the host finalizes earlier batches
+        # stays full while the host finalizes earlier batches; prefetch
+        # then enqueues certificate re-runs before any collect blocks on
+        # them (engine.prefetch_batch)
         scheds = [schedule(h) for h in handles]
+        prefetch = getattr(engine, "prefetch_batch", None)
+        if prefetch is not None:
+            scheds = [prefetch(s) for s in scheds]
         for s in scheds:
             collect(s)
         dt = time.perf_counter() - t0

@@ -111,12 +111,19 @@ def build_membership_np(postings: np.ndarray, set_offsets: np.ndarray,
     return M
 
 
+# M smaller than this stays f32: dtype makes no measurable difference on
+# a few-MB matrix and the f32 path never needs hot_matmul's weight split.
+M_F32_BYTES = 64 << 20
+
+
 def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
                      hot_starts: np.ndarray, P_pad: int):
-    """Membership matrix as a device array: f32 when it fits the budget
-    (the W @ M matmul then streams it without a per-group bf16->f32
-    conversion pass), bf16 otherwise (0/1 is exact in bf16; the matmul
-    upcasts to f32).
+    """Membership matrix as a device array: bf16 beyond the small-DB
+    regime -- 0/1 is exact in bf16, the per-dispatch stream halves, and
+    W @ M rides the MXU at bf16 rate (r5: the f32 matmul at H=1023 x 1M
+    measured ~10-15 ms/chunk, the dominant unexplained hot-chunk cost).
+    Tiny matrices stay f32 (no difference, and no weight split on long
+    queries).
 
     Built ON DEVICE by one scatter over the compact (hot set, protein row)
     pairs: at 1M proteins M is ~1 GB, and shipping it over the ~30 MB/s
@@ -134,7 +141,7 @@ def build_membership(postings: np.ndarray, set_offsets: np.ndarray,
         rows.append(np.asarray(seg, dtype=np.int32))
     hh = np.concatenate(hs) if hs else np.empty(0, np.int32)
     rr = np.concatenate(rows) if rows else np.empty(0, np.int32)
-    dtype = jnp.float32 if H * P_pad * 4 <= M_BYTES_BUDGET else jnp.bfloat16
+    dtype = jnp.float32 if H * P_pad * 4 <= M_F32_BYTES else jnp.bfloat16
     M = jnp.zeros((H, P_pad), dtype=dtype)
     return M.at[jnp.asarray(hh), jnp.asarray(rr)].set(1, mode="drop",
                                                       unique_indices=True)
@@ -166,8 +173,8 @@ def hot_weights(offs, whot, hot_starts):
                       preferred_element_type=jnp.float32)
 
 
-def hot_matmul(W, M, max_w: int):
-    """counts_hot f32[G, P] = W @ M, exactly, at bf16 MXU rate.
+def hot_matmul(W, M, max_w: int, out_dtype=None):
+    """counts_hot [G, P] = W @ M, exactly, at bf16 MXU rate.
 
     W: f32[G, H] integer-valued hot weights (values <= max_w, the group's
     query length); M: {0,1} membership, f32 or bf16.  A bf16 M must NOT be
@@ -176,18 +183,26 @@ def hot_matmul(W, M, max_w: int):
     Instead the weights move to bf16: directly when max_w <= 256 (exact),
     otherwise split W = 256*hi + lo with each half <= 256 and two bf16
     matmuls recombined in f32 -- every product is an integer < 2^24, so f32
-    accumulation is exact."""
+    accumulation is exact.
+
+    out_dtype: result dtype; accumulation stays f32 (exact) and XLA fuses
+    the final convert into the matmul epilogue.  Callers pass bf16 when
+    the counts fit it exactly (integers <= 256, i.e. L <= 256) -- the
+    [G, P] slab write + its downstream reads then halve."""
     if M.dtype == jnp.bfloat16:
         if max_w <= 256:
-            return jnp.dot(W.astype(jnp.bfloat16), M,
+            out = jnp.dot(W.astype(jnp.bfloat16), M,
+                          preferred_element_type=jnp.float32)
+        else:
+            hi = jnp.floor(W * (1.0 / 256.0))
+            lo = W - hi * 256.0
+            out = (jnp.dot(lo.astype(jnp.bfloat16), M,
                            preferred_element_type=jnp.float32)
-        hi = jnp.floor(W * (1.0 / 256.0))
-        lo = W - hi * 256.0
-        return (jnp.dot(lo.astype(jnp.bfloat16), M,
-                        preferred_element_type=jnp.float32)
-                + 256.0 * jnp.dot(hi.astype(jnp.bfloat16), M,
-                                  preferred_element_type=jnp.float32))
-    return jnp.dot(W, M, preferred_element_type=jnp.float32)
+                   + 256.0 * jnp.dot(hi.astype(jnp.bfloat16), M,
+                                     preferred_element_type=jnp.float32))
+    else:
+        out = jnp.dot(W, M, preferred_element_type=jnp.float32)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def topk_dense(vals, k: int, direct_max: int = 4096):
@@ -325,7 +340,11 @@ def merge_hot_cold_tam(counts_hot, rows, w, k: int, pack_w_bits: int = 0,
     """
     G, P = counts_hot.shape
     cap = rows.shape[1]
-    k_cold = k_cold or k_cand
+    # the candidate sort is cap + k_cand wide, so at most cap lanes exist
+    # beyond the injected block -- and a C1 of width cap always
+    # enumerates EVERY distinct cold row (there are at most cap), so the
+    # clamp never weakens the certificate
+    k_cold = min(k_cold or k_cand, cap)
     SENT32 = jnp.uint32(0xFFFFFFFF)
 
     hv, hi = topk_dense(counts_hot, k_cand)          # [G, K2] desc by hot

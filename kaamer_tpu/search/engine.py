@@ -95,14 +95,13 @@ MAX_EXPANSION_ELEMS = 1 << 24
 HOT_DENSE_BYTES = 4 << 30
 
 
-# One COLD phase-2 dispatch costs ~2.5-3 ms end to end (issue + fixed
-# kernel overhead, measured on-chip at G=16: .bench_cache/dispatch_cost),
-# worth about this many dispatched expansion rows at the fused pipeline's
-# ~25M rows/s (SCALE_FLOOR_r04: gather+seg+sort+RLE+top_k together run ~3x
-# slower per row than the 73M rows/s raw-gather wall).  The chunker rounds
-# a tail UP to a wider quantized group only when the padding rows it adds
-# cost less than the dispatches it saves.
-DISPATCH_COST_ROWS = 1 << 16
+# One phase-2 dispatch costs ~5 ms end to end on the tunneled chip (r5
+# A/B: multiplying this constant 4x left 1M e2e within 1.5%, 16x lost 8%
+# to padding -- the plan is flat near this value), worth about this many
+# dispatched expansion rows at the fused pipeline's ~25M rows/s.  The
+# chunker rounds a tail UP to a wider quantized group only when the
+# padding rows it adds cost less than the dispatches it saves.
+DISPATCH_COST_ROWS = 1 << 17
 # Quantized phase-2 group widths: every (G, cap) pair is a 20-60s remote
 # compile on a tunneled chip, so widths stay coarse -- but heavy caps need
 # a width between 16 and 256: at cap ~16-40k a 256-query window spans a
@@ -275,7 +274,7 @@ class QueryCounts:
 
 
 def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
-                      engine, min_top: int = 0):
+                      engine, min_top: int = 0, partial: bool = False):
     """Shared collect_batch body (single-chip and sharded engines): fetch
     each phase-2 chunk's outputs and build per-query QueryCounts.
 
@@ -290,15 +289,26 @@ def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
 
     min_top > 0: rows whose top count is below it become None without
     constructing anything; their position bitmaps are never unpacked
-    (host unpackbits over a [G, k, L] group is the other per-row cost)."""
-    for rows, item in pending:
+    (host unpackbits over a [G, k, L] group is the other per-row cost).
+
+    All device arrays are fetched in ONE device_get: per-chunk fetches
+    each pay a tunnel round trip (~88 chunks x several ms measured as
+    0.6 s of 'host time' on the skewed-1M pass, r5)."""
+    want = []
+    for _, item in pending:
         outs2, pos_dev = item[0], item[1]
+        n = 2 + (1 if (len(item) > 2 and item[2]) else 0) + (1 if pos_dev
+                                                             else 0)
+        want.append(outs2[:n])
+    fetched = jax_mod.device_get(want)
+    for (rows, item), arrs in zip(pending, fetched):
+        pos_dev = item[1]
         flagged = len(item) > 2 and item[2]
         if flagged:
-            ch, hh, ex = jax_mod.device_get((outs2[0], outs2[1], outs2[2]))
+            ch, hh, ex = arrs[0], arrs[1], arrs[2]
             fb = (~ex).tolist()
         else:
-            ch, hh = jax_mod.device_get((outs2[0], outs2[1]))
+            ch, hh = arrs[0], arrs[1]
             fb = None
         keep = None
         if min_top > 0:
@@ -308,7 +318,7 @@ def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
         bm = None
         bpos = 0
         if pos_dev:
-            packed = jax_mod.device_get(outs2[3 if flagged else 2])
+            packed = arrs[-1]
             if keep is None:
                 bm = np.unpackbits(packed, axis=-1,
                                    bitorder="little").view(np.bool_)
@@ -342,6 +352,8 @@ def _finalize_pending(jax_mod, pending, results, sizes, B_real, batch,
             if keep is not None:
                 bpos += 1
             results[i] = qc
+    if partial:
+        return None  # rows skipped for re-runs are filled by a later call
     return [results[i] for i in range(B_real)]
 
 
@@ -496,8 +508,10 @@ class SearchEngine(PositionBitmapServing):
             H = int(hot_starts_np.shape[0])
             self._hot_chunk_rows = int(
                 2 * H * P_pad / HBM_BPS * PIPE_ROWS_PER_S) + (1 << 16)
+            # slab share: bf16 counts_hot write + its topk read (4 bytes
+            # per protein per lane total)
             self._hot_lane_rows = int(
-                (2 * H * P_pad / MXU_FLOPS + 8 * P_pad / HBM_BPS)
+                (2 * H * P_pad / MXU_FLOPS + 4 * P_pad / HBM_BPS)
                 * PIPE_ROWS_PER_S)
 
         # two-phase dispatch: phase 1 probes + dedups the whole batch,
@@ -532,11 +546,16 @@ class SearchEngine(PositionBitmapServing):
         )
         # cold-candidate width of the TAM merge: wide enough to enumerate
         # most queries' distinct cold rows (the certificate then binds
-        # through the hot side); measured legacy-rerun rates on the skewed
-        # bench: 10k/64 -> 0.1%, 100k/128 -> 0%, 1M/512 -> ~6%
+        # through the hot side).  Extraction is O(cap) at any width
+        # (packed-sort slice); the width's real cost is the [G, k_cold]
+        # hot-at-cold gather (~17 ns/lane).  Measured rerun rates on the
+        # skewed bench: 10k/64 -> 0.1%, 100k/128 -> 0%, 1M/512 -> 12.6%
+        # (distinct-cold p90 ~920 at 1M, so 1024 enumerates most queries
+        # outright -- each rerun costs a G=64 legacy chunk incl. a full
+        # membership stream, far more than the wider gather).
         P = art.num_proteins
         self._k_cold = 64 if P <= (1 << 15) else (
-            128 if P <= (1 << 18) else 512)
+            128 if P <= (1 << 18) else 1024)
         # row selection is jitted separately so _p2's compiled shapes depend
         # only on (G, L, caps, k, positions), not on the source batch size
         self._sel = jax.jit(
@@ -704,11 +723,26 @@ class SearchEngine(PositionBitmapServing):
             return self.hot_starts is not None and any(
                 hot_l[i] for i in rows)
 
-        # outliers: RERUN_B-wide chunks at plain pow2 caps (rare, so halving
-        # the compiled-shape count beats the fine cap grid's device saving)
-        for c0 in range(0, len(heavy), self.RERUN_B):
-            rows = heavy[c0 : c0 + self.RERUN_B]
-            chunks.append((rows, self.RERUN_B, None, any_hot(rows)))
+        # outliers: narrow chunks at plain pow2 caps, width chosen by the
+        # same dispatch-vs-padding trade as the bulk.  A fixed RERUN_B=16
+        # paid up to 12.8x padding when the single heaviest query (totals
+        # ~8x the next) dragged 15 lighter heavies to its cap
+        # (SCALE_FLOOR_r05 cold cap<=262144: 6.4M lanes for 0.5M real).
+        c0 = 0
+        while c0 < len(heavy):
+            rem = len(heavy) - c0
+            cap_c = _next_pow2(max(totals_l[heavy[c0]], CAP_MIN))
+            G_c, best = self.RERUN_B, None
+            for g in (4, self.RERUN_B):
+                take = min(g, rem)
+                waste = g * cap_c - sum(
+                    totals_l[i] for i in heavy[c0 : c0 + take])
+                score = (DISPATCH_COST_ROWS + waste) / take
+                if best is None or score < best:
+                    G_c, best = g, score
+            rows = heavy[c0 : c0 + G_c]
+            c0 += G_c
+            chunks.append((rows, G_c, None, any_hot(rows)))
 
         # the bulk: shared cost-model chunker (see _plan_normal_chunks); G
         # stays quantized to G_QUANTA -- every extra (G, caps) tuple is a
@@ -780,17 +814,55 @@ class SearchEngine(PositionBitmapServing):
                                             identity=identity))
             )
         rerun_ctx = (outs1, ts_l, tt_l, k_full, L, positions)
-        return (pending, results, sizes, B_real, batch_ids, rerun_ctx)
+        return [pending, results, sizes, B_real, batch_ids, rerun_ctx,
+                None]
+
+    def prefetch_batch(self, sched, min_top: int = 0):
+        """Advance this batch as far as possible without touching the
+        device queue's tail: read its TAM certificates (blocks only on its
+        OWN chunks, which sit at the queue head), dispatch any legacy
+        re-run chunks (async), and finalize the PRIMARY chunks' per-query
+        results on the host.
+
+        Serving loops call this for every scheduled batch before
+        collecting any: a re-run dispatched lazily at collect time lands
+        behind every later batch's device work (its exposed queue latency
+        plus the then-serial host finalize measured 0.77 s of the 2.33 s
+        skewed-1M e2e pass, r5 decomposition), while this host work
+        overlaps the device.  collect_batch then only finalizes the
+        re-run tail.  min_top must match the later collect_batch call
+        (rows are gated here); collect_batch calls this lazily for
+        callers that don't."""
+        if sched is None or sched[6] is not None:
+            return sched
+        pending, results, sizes, B_real, batch_ids, rerun_ctx = sched[:6]
+        hot_items = [(rows, item[0][2]) for rows, item in pending
+                     if len(item) > 2 and item[2]]
+        # one round trip for every certificate vector (per-chunk fetches
+        # each pay tunnel latency)
+        exs = self._jax.device_get([a for _, a in hot_items])
+        flagged: List[int] = []
+        for (rows, _), ex in zip(hot_items, exs):
+            flagged += [i for j, i in enumerate(rows)
+                        if i < B_real and not ex[j] and i not in results]
+        n_primary = len(pending)
+        if flagged:
+            pending.extend(self._dispatch_legacy(rerun_ctx, flagged))
+        _finalize_pending(self._jax, pending[:n_primary], results, sizes,
+                          B_real, batch_ids, self, min_top, partial=True)
+        sched[6] = n_primary
+        return sched
 
     def collect_batch(self, sched, min_top: int = 0) -> List[QueryCounts]:
         """Fetch the scheduled phase-2 chunk outputs (already copied to the
         host asynchronously) and finalize per-query results.
 
         Hot chunks carry the TAM exactness certificate; rows it fails for
-        (rare -- see merge_hot_cold_tam) are re-dispatched here through the
-        exact legacy merge in RERUN_B-wide chunks BEFORE any per-query
-        finalization, so the re-runs overlap the host work on everything
-        else.
+        (rare -- see merge_hot_cold_tam) are re-dispatched through the
+        exact legacy merge in RERUN_B-wide chunks (prefetch_batch), and
+        only that small tail is finalized here -- the primary chunks were
+        finalized by prefetch_batch, overlapped with later batches'
+        device work.
 
         min_top > 0 gates rows vectorized BEFORE any per-query work: a row
         whose top count is below it resolves to None instead of a
@@ -800,17 +872,10 @@ class SearchEngine(PositionBitmapServing):
         measurable share of fastq host time)."""
         if sched is None:
             return []
-        pending, results, sizes, B_real, batch_ids, rerun_ctx = sched
-        flagged: List[int] = []
-        for rows, item in pending:
-            if len(item) > 2 and item[2]:
-                ex = np.asarray(item[0][2])
-                flagged += [i for j, i in enumerate(rows)
-                            if i < B_real and not ex[j] and i not in results]
-        if flagged:
-            pending = pending + self._dispatch_legacy(rerun_ctx, flagged)
-        return _finalize_pending(self._jax, pending, results, sizes, B_real,
-                                 batch_ids, self, min_top)
+        sched = self.prefetch_batch(sched, min_top)
+        pending, results, sizes, B_real, batch_ids = sched[:5]
+        return _finalize_pending(self._jax, pending[sched[6]:], results,
+                                 sizes, B_real, batch_ids, self, min_top)
 
     def _dispatch_legacy(self, rerun_ctx, flagged: List[int]):
         """Re-dispatch TAM-uncertified rows through the per-lane legacy
@@ -821,13 +886,32 @@ class SearchEngine(PositionBitmapServing):
         (outs1, ts_l, tt_l, k_full, L, positions) = rerun_ctx
         flagged = sorted(flagged, key=lambda i: -(ts_l[i] + 128 * tt_l[i]))
         out = []
-        for c0 in range(0, len(flagged), self.RERUN_B):
-            rows = flagged[c0 : c0 + self.RERUN_B]
+        c0 = 0
+        while c0 < len(flagged):
+            rem = len(flagged) - c0
+            # width by the usual dispatch-vs-padding trade, with the
+            # legacy kernel's fixed M-stream charged per chunk (a G=16
+            # rerun chunk otherwise spends more streaming M than on its
+            # 16 rows) and its per-lane counts_hot gather doubling the
+            # padding cost
+            head_eff = ts_l[flagged[c0]] + 128 * tt_l[flagged[c0]]
+            G_c, best = self.RERUN_B, None
+            for g in (self.RERUN_B, 64):
+                take = min(g, rem)
+                waste = g * head_eff - sum(
+                    ts_l[i] + 128 * tt_l[i]
+                    for i in flagged[c0 : c0 + take])
+                score = (DISPATCH_COST_ROWS + self._hot_chunk_rows
+                         + 2 * waste) / take
+                if best is None or score < best:
+                    G_c, best = g, score
+            rows = flagged[c0 : c0 + G_c]
+            c0 += G_c
             cap_s = _next_pow2(max(max(ts_l[i] for i in rows), CAP_MIN))
             max_t = max(tt_l[i] for i in rows)
             cap_t = max(32, _next_pow2(max_t)) if max_t else 0
             out.append((rows, self._dispatch_group(
-                outs1, rows, self.RERUN_B, min(cap_s, CAP_MAX), cap_t,
+                outs1, rows, G_c, min(cap_s, CAP_MAX), cap_t,
                 k_full, L, positions, hot=True, legacy=True)))
         return out
 
@@ -1092,7 +1176,11 @@ def _phase2_hot_impl(postings, M, MT, hot_starts, offs, cum_s, wstart,
     rows, seg, valid, w = expand_hybrid(postings, offs, cum_s, wstart,
                                         cum_t, lens_l, cap_s, cap_t)
     W = hot_weights(offs, whot, hot_starts)
-    counts_hot = hot_matmul(W, M, max_w=offs.shape[1])
+    # counts are matched-position tallies <= L: for L <= 256 they are
+    # exact in bf16, halving the [G, P] slab write and its topk/gather
+    # reads (accumulation stays f32 inside hot_matmul)
+    out_dt = jnp.bfloat16 if offs.shape[1] <= 256 else jnp.float32
+    counts_hot = hot_matmul(W, M, max_w=offs.shape[1], out_dtype=out_dt)
     # TAM's single-sort extraction spends one key bit on the injected
     # flag, so rows must fit 31 - bits (vs the engine's 32 - bits packing
     # gate); beyond that the per-lane legacy merge serves directly
@@ -1130,6 +1218,8 @@ def _phase2_hot_legacy_impl(postings, M, MT, hot_starts, offs, cum_s,
     (parallel/mesh.py) uses the same merge as its primary.
 
     Returns (counts, hit_rows[, bitmaps]) -- no certificate output."""
+    import jax.numpy as jnp
+
     from ..ops.count import (expand_hybrid, expand_run_bitmaps,
                              member_bitmap_from_rows, pack_bits, sort_rle)
     from ..ops.hotset import (hot_lane_mask, hot_matmul,
@@ -1141,7 +1231,8 @@ def _phase2_hot_legacy_impl(postings, M, MT, hot_starts, offs, cum_s,
     s_rows, cold_counts, is_start = sort_rle(rows, weights=w,
                                              pack_w_bits=pack_w_bits)
     W = hot_weights(offs, whot, hot_starts)
-    counts_hot = hot_matmul(W, M, max_w=offs.shape[1])
+    out_dt = jnp.bfloat16 if offs.shape[1] <= 256 else jnp.float32
+    counts_hot = hot_matmul(W, M, max_w=offs.shape[1], out_dtype=out_dt)
     counts, hit_rows = merge_hot_cold(counts_hot, s_rows, cold_counts,
                                       is_start, k, pack_w_bits=pack_w_bits)
     if not positions:

@@ -160,6 +160,10 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
     collect = getattr(engine, "collect_batch", None)
     if schedule is None or collect is None:
         schedule, collect = (lambda h: h), engine.resolve_batch
+    # certificate re-runs dispatch as early as possible, not at collect
+    # time (a lazy re-run queues behind every later batch's device work;
+    # engine.prefetch_batch docstring)
+    prefetch = getattr(engine, "prefetch_batch", lambda s, m=0: s)
 
     pending = deque()  # entries [batch, handle, sched-or-None]
     cancelled = False
@@ -174,6 +178,8 @@ def _pipelined(engine: SearchEngine, batches, k: int, depth: int = 4,
         pending.append([batch, handle, None])
         if len(pending) >= 2 and pending[-2][2] is None:
             pending[-2][2] = schedule(pending[-2][1])
+        if len(pending) >= 3 and pending[-3][2] is not None:
+            pending[-3][2] = prefetch(pending[-3][2], min_top)
         if len(pending) >= depth:
             b, h, s = pending.popleft()
             yield b, collect(s if s is not None else schedule(h), min_top)

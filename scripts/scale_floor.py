@@ -227,6 +227,7 @@ engine._dispatch_legacy = (
 def run_full():
     hs = [engine.dispatch_batch(q, s, k=10) for q, s in batches()]
     ss = [engine.schedule_batch(h) for h in hs]
+    ss = [engine.prefetch_batch(s_) for s_ in ss]  # serving-loop protocol
     for s_ in ss:
         engine.collect_batch(s_)
 

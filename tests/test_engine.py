@@ -516,7 +516,9 @@ def test_expansion_budget_escalates_outliers(heavy_db, monkeypatch):
     engine._p2 = orig
 
     limit = (1 << 12) // 16
-    assert any(G == SearchEngine.RERUN_B and cap > limit
+    # escalated chunks are narrow (4 or RERUN_B wide, chosen by the
+    # dispatch-vs-padding trade) at the pow2 cap the outlier needs
+    assert any(G in (4, SearchEngine.RERUN_B) and cap > limit
                for G, cap in calls), calls
     assert any(G * cap <= (1 << 12) for G, cap in calls), calls
 
