@@ -244,69 +244,57 @@ def result_from_ops(
     q_ops, r_ops, db_stats: KStats,
 ) -> AlignmentResult:
     """Build the reference-formula result fields from an alignment path."""
-    q = LETTER_INDEX[np.frombuffer(query_seq.encode("latin-1"), dtype=np.uint8)]
-    r = LETTER_INDEX[np.frombuffer(ref_seq.encode("latin-1"), dtype=np.uint8)]
     if not q_ops:
         return AlignmentResult()
+    qb = np.frombuffer(query_seq.encode("latin-1"), dtype=np.uint8)
+    rb = np.frombuffer(ref_seq.encode("latin-1"), dtype=np.uint8)
+    q = LETTER_INDEX[qb]
+    r = LETTER_INDEX[rb]
+    qo = np.asarray(q_ops, dtype=np.int64)
+    ro = np.asarray(r_ops, dtype=np.int64)
 
-    a_chars = []
-    b_chars = []
-    for qi, ri in zip(q_ops, r_ops):
-        a_chars.append(query_seq[qi] if qi >= 0 else "-")
-        b_chars.append(ref_seq[ri] if ri >= 0 else "-")
-    a_string = "".join(a_chars)
-    b_string = "".join(b_chars)
+    # one vectorized pass replaces three per-character Python loops: the
+    # -aln serving stream finalizes thousands of pairs per second on a
+    # 2-core host, and ~300 iterations/pair was its dominant host term
+    GAP = np.uint8(ord("-"))
+    a_bytes = np.where(qo >= 0, qb[np.maximum(qo, 0)], GAP)
+    b_bytes = np.where(ro >= 0, rb[np.maximum(ro, 0)], GAP)
+    a_string = a_bytes.tobytes().decode("latin-1")
+    b_string = b_bytes.tobytes().decode("latin-1")
 
-    # identity / similarity / mismatches (align.go:82-101); float32 like Go
-    identity = np.float32(0)
-    similarity = np.float32(0)
-    mismatches = 0
-    match_chars = []
+    # identity / similarity / mismatches (align.go:82-101); the reference
+    # accumulates float32 1.0s -- exact integers, so integer counts cast
+    # through float32 are bit-identical
     mat = scores.sub_matrix
-    for a, b in zip(a_string, b_string):
-        if a == b:
-            identity += np.float32(1)
-            similarity += np.float32(1)
-            match_chars.append(b)
-        else:
-            if a != "-" and b != "-":
-                mismatches += 1
-            if mat[LETTER_INDEX[ord(b)], LETTER_INDEX[ord(a)]] > 0:
-                similarity += np.float32(1)
-                match_chars.append("+")
-            else:
-                match_chars.append(" ")
+    eq = a_bytes == b_bytes
+    both = (a_bytes != GAP) & (b_bytes != GAP)
+    mismatches = int((~eq & both).sum())
+    positive = mat[LETTER_INDEX[b_bytes], LETTER_INDEX[a_bytes]] > 0
+    n_id = int(eq.sum())
+    n_sim = n_id + int((~eq & positive).sum())
+    match_bytes = np.where(eq, b_bytes,
+                           np.where(positive, np.uint8(ord("+")),
+                                    np.uint8(ord(" "))))
     nb_pos = np.float32(len(a_string))
-    identity = float(identity / nb_pos * np.float32(100))
-    similarity = float(similarity / nb_pos * np.float32(100))
-    aln_string = f"{a_string}\n{''.join(match_chars)}\n{b_string}"
+    identity = float(np.float32(n_id) / nb_pos * np.float32(100))
+    similarity = float(np.float32(n_sim) / nb_pos * np.float32(100))
+    aln_string = (f"{a_string}\n"
+                  f"{match_bytes.tobytes().decode('latin-1')}\n{b_string}")
 
-    # raw score + gap openings (align.go:105-132 semantics)
-    raw = 0
-    gap_openings = 0
-    in_gap = False
-    gap_len = 0
-    for qi, ri in zip(q_ops, r_ops):
-        if qi < 0 or ri < 0:
-            if not in_gap:
-                in_gap = True
-                gap_openings += 1
-                gap_len = 1
-            else:
-                gap_len += 1
-        else:
-            if in_gap:
-                raw -= scores.gap_open + (gap_len - 1) * scores.gap_extend
-                in_gap = False
-            raw += int(mat[q[qi], r[ri]])
-    if in_gap:
-        raw -= scores.gap_open + (gap_len - 1) * scores.gap_extend
+    # raw score + gap openings (align.go:105-132 semantics): every gapped
+    # column costs gap_extend except the first of each run (gap_open)
+    gap = ~both
+    gap_start = gap & ~np.concatenate([[False], gap[:-1]])
+    gap_openings = int(gap_start.sum())
+    n_gap = int(gap.sum())
+    raw = int(mat[q[qo[both]], r[ro[both]]].sum(dtype=np.int64))
+    raw -= gap_openings * scores.gap_open + (n_gap - gap_openings) * scores.gap_extend
 
     bitscore = (scores.lam * raw - math.log(scores.K)) / math.log(2)
     evalue = float(len(query_seq)) * float(db_stats.NumberOfAA) / math.pow(2, bitscore)
 
-    q_idx = [x for x in q_ops if x >= 0]
-    r_idx = [x for x in r_ops if x >= 0]
+    q_idx = qo[qo >= 0]
+    r_idx = ro[ro >= 0]
 
     return AlignmentResult(
         Identity=identity,
@@ -318,8 +306,8 @@ def result_from_ops(
         BitScore=bitscore,
         EValue=evalue,
         AlnString=aln_string,
-        QueryStart=q_idx[0] + 1 if q_idx else 0,
-        QueryEnd=q_idx[-1] + 1 if q_idx else 0,
-        SubjectStart=r_idx[0] + 1 if r_idx else 0,
-        SubjectEnd=r_idx[-1] + 1 if r_idx else 0,
+        QueryStart=int(q_idx[0]) + 1 if q_idx.size else 0,
+        QueryEnd=int(q_idx[-1]) + 1 if q_idx.size else 0,
+        SubjectStart=int(r_idx[0]) + 1 if r_idx.size else 0,
+        SubjectEnd=int(r_idx[-1]) + 1 if r_idx.size else 0,
     )
