@@ -565,3 +565,34 @@ def test_scheduler_coalesces_small_cap_tails(synth_db):
         got = [(int(ext[int(r)]), int(c)) for r, c in zip(qc.hit_rows, qc.counts)]
         want, _ = oracle.kmer_search(q, size)
         assert got == want[: len(got)]
+
+
+def test_prefetch_batch_protocol(heavy_db):
+    """prefetch_batch must be idempotent, optional (collect alone works),
+    and produce identical results either way -- including min_top gating
+    through the prefetch path (the serving loops' staged protocol)."""
+    art, oracle, seqs, _ = heavy_db
+    engine = SearchEngine(art)
+    queries = [seqs[0], seqs[3][:40], seqs[5]]
+    sizes = [len(q) - 6 for q in queries]
+
+    direct = engine.collect_batch(
+        engine.schedule_batch(engine.dispatch_batch(queries, sizes, k=10)))
+    s = engine.schedule_batch(engine.dispatch_batch(queries, sizes, k=10))
+    s = engine.prefetch_batch(s)
+    s = engine.prefetch_batch(s)  # idempotent
+    staged = engine.collect_batch(s)
+    for a, b in zip(direct, staged):
+        np.testing.assert_array_equal(a.hit_rows, b.hit_rows)
+        np.testing.assert_array_equal(a.counts, b.counts)
+
+    s2 = engine.schedule_batch(engine.dispatch_batch(queries, sizes, k=10))
+    s2 = engine.prefetch_batch(s2, min_top=5)
+    gated = engine.collect_batch(s2, min_top=5)
+    for g, b in zip(gated, direct):
+        top = int(b.counts[0]) if len(b.counts) else 0
+        if top >= 5:
+            assert g is not None
+            np.testing.assert_array_equal(g.hit_rows, b.hit_rows)
+        else:
+            assert g is None
